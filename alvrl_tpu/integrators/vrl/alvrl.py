@@ -1,0 +1,153 @@
+"""The full ALVRL pipeline: trace -> slice -> transfer matrix -> cluster
+-> clustered render.
+
+Counterpart of vrlIntegrator::{preprocess,prepass} + the clustered render
+(vrlIntegrator.cpp:237-356, 542-599), orchestrating device kernels
+(tracing, R build, clustered integration) around the host-side
+clustering of alvrl_tpu.integrators.vrl.cluster.
+
+Pixel indexing convention: row-major (y * W + x). (The reference uses
+column-major `y + H*x`, vrlIntegrator.cpp:560 — an internal layout
+choice with no observable effect.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alvrl_tpu.core import rng
+from alvrl_tpu.geometry import intersect
+from alvrl_tpu.integrators.vrl import cluster as cl
+from alvrl_tpu.integrators.vrl.integrate import VRLConfig
+from alvrl_tpu.integrators.vrl.integrator import (
+    build_R,
+    render_clustered,
+    trace_eye_rays,
+)
+from alvrl_tpu.integrators.vrl.tracer import TracerConfig, trace
+from alvrl_tpu.integrators.vrl.vrl import VRLs, compact
+from alvrl_tpu.scene.scene import Scene
+from alvrl_tpu.sensors import perspective
+
+
+@dataclass
+class ALVRLParams:
+    vrl_target_num: int = 500
+    num_particles: int = 128
+    cluster: cl.ClusterParams = None
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.cluster is None:
+            self.cluster = cl.ClusterParams()
+
+
+def gather_points(scene: Scene):
+    """One center ray per pixel -> (positions, scaled normals, valid).
+    Counterpart of buildSlices' gather pass (Preprocessor.cpp:1140-1179);
+    the direction scale is scene-diagonal/8 * sliceCurvatureFactor
+    (:1137, after Multidimensional Lightcuts)."""
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px, py = px.reshape(-1), py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    hit = intersect.intersect_all(ray_o, ray_d, scene.vertices, scene.faces)
+    lo, hi = scene.aabb()
+    diag = jnp.linalg.norm(hi - lo)
+    return hit.p, hit.ng, hit.valid, diag
+
+
+def prepare_clustering(
+    scene: Scene,
+    vrls: VRLs,
+    key,
+    params: ALVRLParams,
+    cfg: VRLConfig,
+):
+    """Host+device prepass: slices, representative pixels, R, clusters.
+    Returns (slice_of_pixel (H*W,) int32 row ids, table_vrls, table_weights)
+    as device arrays (fallback appended as the last table row)."""
+    p = params.cluster
+    cam = scene.camera
+    w, h = cam.width, cam.height
+
+    pos, ng, valid, diag = gather_points(scene)
+    dir_scale = float(diag) / 8.0 * p.slice_curvature_factor
+    slices = cl.build_slices(
+        np.asarray(pos), np.asarray(ng) * dir_scale, np.asarray(valid),
+        p.target_num_slices,
+    )
+
+    host_rng = np.random.default_rng(params.seed + 7)
+    repr_rows, slice_u, global_pu = cl.sample_representative_pixels(
+        slices, p.target_pixel_undersampling, host_rng
+    )
+    localities = cl.build_localities(slices, p.neighbour_count)
+
+    # R over all representative pixels at once (device)
+    all_rows = np.concatenate(repr_rows) if repr_rows else np.zeros((0,), np.int64)
+    px = jnp.asarray(all_rows % w, jnp.int32)
+    py = jnp.asarray(all_rows // w, jnp.int32)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    r_mean, r_var = build_R(
+        scene, ray_o, ray_d, vrls, rng.fold(jax.random.key(params.seed), 11), cfg
+    )
+    r_mean = np.asarray(r_mean, np.float64)
+    r_var = np.asarray(r_var, np.float64)
+
+    # rows_per_slice: indices into the concatenated R
+    rows_per_slice = []
+    off = 0
+    for rr in repr_rows:
+        rows_per_slice.append(np.arange(off, off + len(rr)))
+        off += len(rr)
+
+    slice_ids, slice_ws, fb_ids, fb_w, gc_ids, gc_w = cl.build_clusters(
+        r_mean, r_var, rows_per_slice, slice_u, global_pu,
+        localities, p, host_rng,
+    )
+    info = cl.pack_cluster_info(
+        slices.pixel_to_slice, slice_ids, slice_ws, fb_ids, fb_w, gc_ids, gc_w
+    )
+
+    # Append the fall-back set as the last row of the tables; map -1 -> S.
+    s, cmax = info.slice_vrls.shape
+    cmax2 = max(cmax, len(info.fallback_vrls))
+    tv = np.zeros((s + 1, cmax2), np.int32)
+    tw = np.zeros((s + 1, cmax2), np.float32)
+    tv[:s, :cmax] = info.slice_vrls
+    tw[:s, :cmax] = info.slice_weights
+    tv[s, : len(info.fallback_vrls)] = info.fallback_vrls
+    tw[s, : len(info.fallback_weights)] = info.fallback_weights
+    sop = np.where(info.pixel_to_slice < 0, s, info.pixel_to_slice).astype(np.int32)
+    return jnp.asarray(sop), jnp.asarray(tv), jnp.asarray(tw), info
+
+
+def render_alvrl(
+    scene: Scene,
+    key=None,
+    params: ALVRLParams = None,
+    cfg: VRLConfig = VRLConfig(),
+    tracer_cfg: TracerConfig = TracerConfig(),
+    ray_tile: int = 2048,
+):
+    """One full clustered progressive pass. Returns (image, vrls, info)."""
+    if params is None:
+        params = ALVRLParams()
+    if key is None:
+        key = jax.random.key(params.seed)
+    k_trace, k_r, k_render = jax.random.split(key, 3)
+
+    raw = trace(scene, k_trace, params.num_particles, tracer_cfg)
+    vrls = compact(raw, params.vrl_target_num)
+
+    sop, tv, tw, info = prepare_clustering(scene, vrls, k_r, params, cfg)
+    img = render_clustered(
+        scene, vrls, sop, tv, tw, k_render, cfg, ray_tile=ray_tile
+    )
+    return img, vrls, info

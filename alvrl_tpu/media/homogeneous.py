@@ -1,0 +1,150 @@
+"""Homogeneous participating medium.
+
+Counterpart of src/medium/homogeneous.cpp with the default "balance"
+sampling strategy (homogeneous.cpp:275-396): exponential free-flight
+sampling with a random RGB channel's sigma_t as density, mixed with a
+"no medium interaction" branch of probability (1 - mediumSamplingWeight).
+pdfSuccess/pdfFailure follow the reference exactly so that the VRL
+estimator (which divides by them) matches numerically.
+
+All functions are pure; the medium is a pytree of arrays so every
+coefficient (sigma_a, sigma_s, g) is differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alvrl_tpu.core import rng
+
+
+@struct.dataclass
+class HomogeneousMedium:
+    sigma_a: jax.Array  # (3,) absorption
+    sigma_s: jax.Array  # (3,) scattering
+    g: jax.Array        # HG mean cosine (scalar); 0 => isotropic
+    sampling_weight: jax.Array  # mediumSamplingWeight (scalar)
+
+    @property
+    def sigma_t(self):
+        return self.sigma_a + self.sigma_s
+
+
+def make_medium(sigma_a, sigma_s, g=0.0, sampling_weight=None):
+    """Build a medium with the reference's default sampling weight:
+    max channel albedo, clamped to >= 0.5 when scattering
+    (homogeneous.cpp:168-184)."""
+    sigma_a = jnp.asarray(sigma_a, jnp.float32)
+    sigma_s = jnp.asarray(sigma_s, jnp.float32)
+    sigma_t = sigma_a + sigma_s
+    if sampling_weight is None:
+        albedo = jnp.where(sigma_t > 0, sigma_s / jnp.maximum(sigma_t, 1e-20), 0.0)
+        w = jnp.max(albedo)
+        w = jnp.where(w > 0, jnp.maximum(w, 0.5), w)
+    else:
+        w = jnp.asarray(sampling_weight, jnp.float32)
+    return HomogeneousMedium(
+        sigma_a=sigma_a,
+        sigma_s=sigma_s,
+        g=jnp.asarray(g, jnp.float32),
+        sampling_weight=w,
+    )
+
+
+class MediumSample(NamedTuple):
+    """Counterpart of MediumSamplingRecord (include/mitsuba/render/medium.h)."""
+
+    success: jax.Array        # bool: sampled a medium interaction before surface
+    t: jax.Array              # distance of the interaction (valid iff success)
+    transmittance: jax.Array  # (3,) tau over [0, min(t, dist_surf)]
+    pdf_success: jax.Array    # pdf of generating this interaction
+    pdf_failure: jax.Array    # prob of passing beyond dist_surf
+    sigma_s: jax.Array        # (3,)
+    sigma_a: jax.Array        # (3,)
+
+
+def eval_transmittance(med: HomogeneousMedium, dist):
+    """Beer-Lambert tau = exp(-sigma_t * dist) (homogeneous.cpp:266-273)."""
+    return jnp.exp(-med.sigma_t * dist[..., None])
+
+
+def _pdfs_balance(med: HomogeneousMedium, dist):
+    """Balance-strategy pdfs at distance `dist` (homogeneous.cpp:322-331)."""
+    e = jnp.exp(-med.sigma_t * dist[..., None])
+    pdf_failure = jnp.mean(e, axis=-1)
+    pdf_success = jnp.mean(med.sigma_t * e, axis=-1)
+    return pdf_success, pdf_failure
+
+
+def sample_distance(med: HomogeneousMedium, key, dist_surf):
+    """Sample a free-flight distance along a segment of length dist_surf.
+
+    Mirrors HomogeneousMedium::sampleDistance (homogeneous.cpp:275-352):
+    with prob sampling_weight, pick a random channel and sample an
+    exponential; otherwise force "no interaction". Returns a MediumSample
+    with the mixed pdfs.
+
+    Gradients: the sampled distance is treated as a detached sample; the
+    transmittance / pdf factors remain differentiable w.r.t. sigma_*.
+    """
+    k1, k2 = jax.random.split(key)
+    u = rng.uniform(k1, jnp.shape(dist_surf))
+    w = med.sampling_weight
+    take_medium = u < w
+    u_resc = jnp.where(take_medium, u / jnp.maximum(w, 1e-20), 0.0)
+    channel = jnp.minimum(
+        (rng.uniform(k2, jnp.shape(dist_surf)) * 3).astype(jnp.int32), 2
+    )
+    density = jnp.maximum(med.sigma_t[channel], 1e-20)
+    sampled = -jnp.log1p(-jnp.minimum(u_resc, 1.0 - 1e-7)) / density
+    sampled = jax.lax.stop_gradient(sampled)
+    sampled = jnp.where(take_medium, sampled, jnp.inf)
+
+    success = sampled < dist_surf
+    d_eff = jnp.where(success, sampled, dist_surf)
+
+    pdf_success, pdf_failure = _pdfs_balance(med, d_eff)
+    transmittance = jnp.exp(-med.sigma_t * d_eff[..., None])
+    pdf_success = pdf_success * w
+    pdf_failure = w * pdf_failure + (1.0 - w)
+    # Reference zeroes tau below 1e-20 max (homogeneous.cpp:348-349).
+    transmittance = jnp.where(
+        jnp.max(transmittance, axis=-1, keepdims=True) < 1e-20,
+        0.0,
+        transmittance,
+    )
+    shape = jnp.shape(dist_surf)
+    return MediumSample(
+        success=success,
+        t=d_eff,
+        transmittance=transmittance,
+        pdf_success=pdf_success,
+        pdf_failure=pdf_failure,
+        sigma_s=jnp.broadcast_to(med.sigma_s, shape + (3,)),
+        sigma_a=jnp.broadcast_to(med.sigma_a, shape + (3,)),
+    )
+
+
+def eval_ray(med: HomogeneousMedium, dist):
+    """Deterministic evaluation over a segment of length `dist`.
+
+    Counterpart of HomogeneousMedium::eval (homogeneous.cpp:354-396):
+    returns (transmittance, pdf_success, pdf_failure) with the same
+    sampling_weight mixture applied. Used by the VRL integrand for the
+    tau(S->V), tau(V->U), tau(U->E) factors and the short-VRL
+    pdfFailure division.
+    """
+    pdf_success, pdf_failure = _pdfs_balance(med, dist)
+    transmittance = jnp.exp(-med.sigma_t * dist[..., None])
+    pdf_success = pdf_success * med.sampling_weight
+    pdf_failure = med.sampling_weight * pdf_failure + (1.0 - med.sampling_weight)
+    transmittance = jnp.where(
+        jnp.max(transmittance, axis=-1, keepdims=True) < 1e-20,
+        0.0,
+        transmittance,
+    )
+    return transmittance, pdf_success, pdf_failure

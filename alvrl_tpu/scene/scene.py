@@ -1,0 +1,120 @@
+"""Scene = a pytree of arrays.
+
+Replaces the reference's Scene object graph + plugin registry
+(src/librender/scene.cpp, PluginManager): everything a render function
+needs is flattened into this immutable dataclass so the whole renderer is
+a jit-compiled pure function of (scene, params, key).
+
+Materials are a struct-of-arrays table indexed by per-face material id —
+the plugin dispatch of the reference (BSDF subclasses) becomes masked
+arithmetic over the material kind.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from alvrl_tpu.media.homogeneous import HomogeneousMedium
+
+# Material kinds (BSDF plugin equivalents, src/bsdfs/)
+DIFFUSE = 0   # smooth Lambertian (diffuse.cpp)
+NULL = 1      # transparent boundary enclosing media (null.cpp)
+MIRROR = 2    # ideal specular conductor (conductor.cpp, delta)
+DIELECTRIC = 3  # smooth dielectric (dielectric.cpp, delta)
+
+
+@struct.dataclass
+class Materials:
+    kind: jax.Array      # (M,) int32
+    albedo: jax.Array    # (M, 3) diffuse reflectance / specular tint
+    eta: jax.Array       # (M,) ior for dielectrics (1.0 otherwise)
+
+
+@struct.dataclass
+class PointEmitters:
+    """Isotropic point lights (src/emitters/point.cpp).
+
+    position: (E, 3); intensity: (E, 3) radiant intensity [W/sr].
+    pmf: (E,) discrete selection pmf (luminance-weighted, the
+    counterpart of Scene::m_emitterPDF, scene.cpp:378-380).
+    """
+
+    position: jax.Array
+    intensity: jax.Array
+    pmf: jax.Array
+
+
+@struct.dataclass
+class Camera:
+    """Perspective pinhole sensor (src/sensors/perspective.cpp).
+
+    to_world: (4, 4) camera-to-world; camera space looks down +z with
+    x right, y up (mitsuba convention). fov is the horizontal field of
+    view in degrees. Resolution lives here as static metadata so ray
+    generation shapes are compile-time constants.
+    """
+
+    to_world: jax.Array
+    fov_x_deg: jax.Array
+    width: int = struct.field(pytree_node=False, default=128)
+    height: int = struct.field(pytree_node=False, default=128)
+
+
+@struct.dataclass
+class Scene:
+    vertices: jax.Array   # (V, 3) f32
+    faces: jax.Array      # (T, 3) i32
+    material: jax.Array   # (T,) i32 per-face material id
+    materials: Materials
+    emitters: PointEmitters
+    medium: HomogeneousMedium  # global medium filling the scene
+    camera: Camera
+
+    @property
+    def num_tris(self) -> int:
+        return self.faces.shape[0]
+
+    def opaque_faces(self):
+        """(T,) bool — triangles that block shadow rays (non-null BSDF).
+
+        Counterpart of the null-boundary skip in Scene::evalTransmittance
+        (scene.cpp:619-679)."""
+        return self.materials.kind[self.material] != NULL
+
+    def aabb(self):
+        return jnp.min(self.vertices, axis=0), jnp.max(self.vertices, axis=0)
+
+
+def look_at(origin, target, up):
+    """Camera-to-world 4x4, mitsuba convention (+z forward, y up).
+
+    Counterpart of Transform::lookAt (src/libcore/transform.cpp)."""
+    origin = np.asarray(origin, np.float64)
+    target = np.asarray(target, np.float64)
+    up = np.asarray(up, np.float64)
+    fwd = target - origin
+    fwd /= np.linalg.norm(fwd)
+    left = np.cross(up / np.linalg.norm(up), fwd)
+    left /= np.linalg.norm(left)
+    new_up = np.cross(fwd, left)
+    mat = np.eye(4, dtype=np.float32)
+    mat[:3, 0] = left
+    mat[:3, 1] = new_up
+    mat[:3, 2] = fwd
+    mat[:3, 3] = origin
+    return jnp.asarray(mat)
+
+
+def make_point_emitters(positions, intensities):
+    from alvrl_tpu.core import spectrum as spec
+
+    positions = jnp.asarray(positions, jnp.float32).reshape(-1, 3)
+    intensities = jnp.asarray(intensities, jnp.float32).reshape(-1, 3)
+    # Luminance-weighted selection pmf, as Scene::initialize builds
+    # m_emitterPDF from emitter power (scene.cpp:378-380).
+    lum = spec.luminance(intensities)
+    pmf = lum / jnp.maximum(jnp.sum(lum), 1e-30)
+    return PointEmitters(position=positions, intensity=intensities, pmf=pmf)
