@@ -32,9 +32,10 @@ from alvrl_tpu.core import rng, warp
 from alvrl_tpu.film import film as film_mod
 from alvrl_tpu.geometry import intersect
 from alvrl_tpu.integrators.vrl.integrate import eval_transmittance_between
-from alvrl_tpu.media import homogeneous as hmed
+from alvrl_tpu.media import api as mapi
 from alvrl_tpu.media import phase as ph
-from alvrl_tpu.scene.scene import DIFFUSE, Scene
+from alvrl_tpu.integrators.vrl.specular import specular_bounce
+from alvrl_tpu.scene.scene import DIELECTRIC, DIFFUSE, MIRROR, NULL, Scene
 from alvrl_tpu.sensors import perspective
 
 
@@ -85,7 +86,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
     )
 
     def step(state, k):
-        k_dist, k_nee, k_phase, k_bsdf, k_rr = jax.random.split(k, 5)
+        k_dist, k_nee, k_phase, k_bsdf, k_rr, k_spec = jax.random.split(k, 6)
         depth = state["depth"]
         active = state["active"]
 
@@ -102,21 +103,21 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         # poison masked arithmetic downstream.
         hit_p = jnp.where(hit.valid[..., None], hit.p, state["ray_o"])
         dist_surf = jnp.where(hit.valid, hit.t, jnp.inf)
-        ms = hmed.sample_distance(med, k_dist, dist_surf)
+        ms = mapi.sample_distance_seg(
+            med, k_dist, state["ray_o"], state["ray_d"], dist_surf
+        )
 
         medium_event = ms.success & active
         surface_event = (~ms.success) & hit.valid & active
         escape = (~ms.success) & (~hit.valid) & active
 
         # ---------------- medium vertex ------------------------------
-        p_med = state["ray_o"] + ms.t[..., None] * state["ray_d"]
+        p_med = ms.p
         first_ok_med = state["first_ok"] | (
             (depth == 1) & jnp.bool_(cfg.vrl_vol_to_vol)
         )
         second_ok_med = state["second_ok"] | (depth == 2)
-        tp_med = state["throughput"] * ms.sigma_s * ms.transmittance / jnp.maximum(
-            ms.pdf_success, 1e-30
-        )[..., None]
+        tp_med = state["throughput"] * ms.w_scatter
 
         # luminaire sampling at the medium vertex
         nee_dir, nee_val = _nee_point_light(scene, k_nee, p_med)
@@ -150,9 +151,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         med_continue = medium_event & ~jnp.bool_(cfg.single_scatter)
 
         # ---------------- surface vertex -----------------------------
-        tp_surf_pre = state["throughput"] * ms.transmittance / jnp.maximum(
-            ms.pdf_failure, 1e-30
-        )[..., None]
+        tp_surf_pre = state["throughput"] * ms.w_pass
         mat_id = scene.material[jnp.maximum(hit.prim, 0)]
         kind = scene.materials.kind[mat_id]
         albedo = scene.materials.albedo[mat_id]
@@ -171,13 +170,19 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             0.0,
         )
 
-        # BSDF sampling (diffuse cosine)
+        # BSDF sampling: diffuse cosine lobe or a delta lobe
         local = warp.square_to_cosine_hemisphere(rng.uniform2(k_bsdf))
         s_f, t_f = m.build_frame(hit.ng)
-        wo_bsdf = m.frame_to_world(s_f, t_f, hit.ng, local)
-        w_bsdf = albedo  # cosine-sampled Lambert weight
+        wo_diffuse = m.frame_to_world(s_f, t_f, hit.ng, local)
+        wo_spec, w_spec, eta_ratio, is_delta = specular_bounce(
+            scene, k_spec, mat_id, state["ray_d"], hit.ng_raw
+        )
+        wo_bsdf = jnp.where(is_diffuse[..., None], wo_diffuse, wo_spec)
+        w_bsdf = jnp.where(is_diffuse[..., None], albedo, w_spec)
         tp_surf_cont = tp_surf_pre * w_bsdf
-        surf_continue = surface_event & is_diffuse & ~jnp.all(w_bsdf == 0.0)
+        surf_continue = (
+            surface_event & (is_diffuse | is_delta) & ~jnp.all(w_bsdf == 0.0)
+        )
 
         first_ok_surf = state["first_ok"] | (
             jnp.bool_(cfg.vrl_vol_to_surf) & (depth == 1) & is_diffuse
@@ -197,6 +202,14 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             medium_event, first_ok_med,
             jnp.where(surface_event, first_ok_surf, state["first_ok"]),
         )
+        new_eta = jnp.where(
+            surface_event & is_delta, state["eta"] * eta_ratio, state["eta"]
+        )
+        # 'undo' initial specular vertices (volpath.cpp:377-380): a delta
+        # bounce at depth 1 does not advance the depth counter
+        depth_inc = jnp.where(
+            surface_event & is_delta & (depth == 1), 0, 1
+        )
         second_ok = jnp.where(medium_event, second_ok_med, state["second_ok"])
         prev_volume = jnp.where(
             medium_event, True, jnp.where(surface_event, False, state["prev_volume"])
@@ -207,7 +220,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         )
 
         # Russian roulette (volpath.cpp:443-452)
-        q = jnp.minimum(jnp.max(new_tp) * state["eta"] ** 2, 0.95)
+        q = jnp.minimum(jnp.max(new_tp) * new_eta ** 2, 0.95)
         do_rr = depth >= cfg.rr_depth
         u = rng.uniform(k_rr)
         rr_kill = do_rr & (u >= q)
@@ -219,8 +232,8 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             ray_d=new_d,
             throughput=new_tp * rr_scale,
             li=li,
-            depth=depth + 1,
-            eta=state["eta"],
+            depth=depth + depth_inc,
+            eta=new_eta,
             active=survive,
             first_ok=first_ok,
             second_ok=second_ok,

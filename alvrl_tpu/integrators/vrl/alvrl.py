@@ -144,7 +144,8 @@ def render_alvrl(
     k_trace, k_r, k_render = jax.random.split(key, 3)
 
     raw = trace(scene, k_trace, params.num_particles, tracer_cfg)
-    vrls = compact(raw, params.vrl_target_num)
+    vrls = compact(raw, params.vrl_target_num,
+                   slots_per_particle=tracer_cfg.max_depth)
 
     sop, tv, tw, info = prepare_clustering(scene, vrls, k_r, params, cfg)
     img = render_clustered(

@@ -31,7 +31,7 @@ from flax import struct
 from alvrl_tpu.core import math as m
 from alvrl_tpu.core import spectrum as spec
 from alvrl_tpu.geometry import intersect
-from alvrl_tpu.media import homogeneous as hmed
+from alvrl_tpu.media import api as mapi
 from alvrl_tpu.media import phase as ph
 from alvrl_tpu.scene.scene import DIFFUSE, Scene
 
@@ -165,7 +165,7 @@ def eval_transmittance_between(scene: Scene, p0, p1):
     blocked = intersect.occluded(
         p0, p1, scene.vertices, scene.faces, scene.opaque_faces()
     )
-    tau = hmed.eval_transmittance(scene.medium, m.distance(p0, p1))
+    tau = mapi.transmittance(scene.medium, p0, p1)
     return jnp.where(blocked[..., None], 0.0, tau)
 
 
@@ -229,11 +229,11 @@ def pair_contribution(
         vu = m.normalize(u_pt - v)
 
         tau_uv = eval_transmittance_between(scene, u_pt, v)
-        tau_eu = hmed.eval_transmittance(med, m.distance(e_pt, u_pt))
-        tau_sv, _, pdf_fail_sv = hmed.eval_ray(med, m.distance(vrl_s, v))
+        tau_eu = mapi.transmittance(med, e_pt, u_pt)
+        tau_sv, _, pdf_fail_sv = mapi.eval_ray_seg(med, vrl_s, v)
 
         c = vrl_power
-        c = c * med.sigma_s * med.sigma_s  # sigma_s(V) * sigma_s(U)
+        c = c * mapi.sigma_s_at(med, v) * mapi.sigma_s_at(med, u_pt)
         c = c * m.safe_divide(1.0, pdf * d_uv * d_uv)[..., None]
         c = c * tau_sv * tau_uv * tau_eu
         if cfg.short_vrls:
@@ -249,10 +249,10 @@ def pair_contribution(
         vu = m.normalize(hit_p - v)
 
         tau_uv = eval_transmittance_between(scene, hit_p, v)
-        tau_sv, _, pdf_fail_sv = hmed.eval_ray(med, m.distance(vrl_s, v))
+        tau_sv, _, pdf_fail_sv = mapi.eval_ray_seg(med, vrl_s, v)
 
         c = vrl_power
-        c = c * med.sigma_s
+        c = c * mapi.sigma_s_at(med, v)
         c = c * m.safe_divide(1.0, pdf_v * d_uv * d_uv)[..., None]
         c = c * tau_sv * tau_uv
         if cfg.short_vrls:
@@ -266,7 +266,7 @@ def pair_contribution(
     vv = jnp.stack([vol_vol_one(u_vv[..., i, :]) for i in range(s_vv)], axis=-2) if s_vv else None
     # --- vol-surf samples -------------------------------------------------
     # tau from eye to the surface hit, *VRL medium* (parity quirk).
-    tau_e_usurf = hmed.eval_transmittance(med, m.distance(e_pt, hit_p))
+    tau_e_usurf = mapi.transmittance(med, e_pt, hit_p)
     surf_ok = hit_valid & ~spec.is_zero(tau_e_usurf)
     vs = (
         jnp.stack([vol_surf_one(u_vs[..., i]) for i in range(s_vs)], axis=-2)

@@ -38,11 +38,13 @@ def _chunk_uniforms(key, chunk_idx, shape_vv, shape_vs):
     return u_vv, u_vs
 
 
-def vrl_sum(scene: Scene, ray_o, ray_d, hit, vrls: VRLs, key, cfg: VRLConfig):
+def vrl_sum(scene: Scene, ray_o, ray_d, hit, vrls: VRLs, key, cfg: VRLConfig,
+            weight=None):
     """Sum_i integrateVRL(ray, vrl_i) / particleCount for a ray batch.
 
-    ray_o/ray_d: (B, 3); hit: Hit for those rays. Scans the VRL buffer in
-    chunks of cfg.vrl_chunk. Returns (B, 3) radiance."""
+    ray_o/ray_d: (B, 3); hit: Hit for those rays; weight: optional (B, 3)
+    path weight (specular chains). Scans the VRL buffer in chunks of
+    cfg.vrl_chunk. Returns (B, 3) radiance."""
     b = ray_o.shape[0]
     c = cfg.vrl_chunk
     n = vrls.capacity
@@ -82,6 +84,7 @@ def vrl_sum(scene: Scene, ray_o, ray_d, hit, vrls: VRLs, key, cfg: VRLConfig):
             u_vv,
             u_vs,
             cfg,
+            weight=None if weight is None else expand(weight),
         )
         return acc + jnp.sum(total, axis=1), None
 
@@ -101,6 +104,7 @@ class HitInfo:
         self.p = hit.p
         self.valid = hit.valid
         self.ng = hit.ng
+        self.ng_raw = hit.ng_raw
         self.t = hit.t
         self.mat = mat
 
@@ -108,6 +112,8 @@ class HitInfo:
 def trace_eye_rays(scene: Scene, ray_o, ray_d) -> HitInfo:
     """Closest-hit + per-hit material id, packaged for the integrand."""
     hit = intersect.intersect_all(ray_o, ray_d, scene.vertices, scene.faces)
+    # sanitize misses so masked arithmetic stays finite
+    hit = hit._replace(p=jnp.where(hit.valid[..., None], hit.p, ray_o))
     mat = scene.material[jnp.maximum(hit.prim, 0)]
     return HitInfo(hit=hit, mat=mat)
 
@@ -120,6 +126,67 @@ def li_unclustered(scene: Scene, ray_o, ray_d, vrls: VRLs, key, cfg: VRLConfig):
     hit = trace_eye_rays(scene, ray_o, ray_d)
     li = vrl_sum(scene, ray_o, ray_d, hit, vrls, key, cfg)
     return jnp.where(hit.valid[..., None], li, 0.0)
+
+
+def li_unclustered_spec(
+    scene: Scene, ray_o, ray_d, vrls: VRLs, key, cfg: VRLConfig,
+    spec_cfg=None,
+):
+    """Unclustered Li including specular chains (LiInternal recursion,
+    vrlIntegrator.cpp:445-511, as a bounded loop)."""
+    from alvrl_tpu.integrators.vrl.specular import (
+        SpecularConfig,
+        li_specular_chain,
+    )
+
+    if spec_cfg is None:
+        spec_cfg = SpecularConfig()
+
+    def li_at_hit(o, d, hit, k, weight):
+        return vrl_sum(scene, o, d, hit, vrls, k, cfg, weight=weight)
+
+    return li_specular_chain(
+        scene, ray_o, ray_d, li_at_hit, trace_eye_rays, key, spec_cfg
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas fast path (forward rendering / benchmark)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_with_vrls_pallas(scene: Scene, vrls: VRLs, key, cfg: VRLConfig = VRLConfig()):
+    """Full-frame unclustered render through the Pallas (ray x vrl) tile
+    kernel (alvrl_tpu.ops.vrl_pallas) — same estimator as
+    render_with_vrls, VMEM-resident hot loop."""
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops import vrl_pallas as vp
+
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    hit = intersect.intersect_all(ray_o, ray_d, scene.vertices, scene.faces)
+
+    ray_pack = pk.pack_rays(scene, ray_o, ray_d, hit)
+    vrl_pack = pk.pack_vrls(vrls)
+    tri_flat = pk.pack_tris(scene)
+    med_pack = pk.pack_medium(scene)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+    out = vp.vrl_sum_pallas(
+        ray_pack, vrl_pack, tri_flat, med_pack, seed,
+        vol_vol_samples=cfg.vol_vol_samples,
+        vol_surf_samples=cfg.vol_surf_samples,
+        short_vrls=cfg.short_vrls,
+    )
+    n = px.shape[0]
+    li = out.T[:n] / jnp.maximum(vrls.particle_count, 1.0)
+    li = jnp.where(hit.valid[..., None], li, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)
 
 
 # ---------------------------------------------------------------------------

@@ -32,9 +32,9 @@ from alvrl_tpu.core import math as m
 from alvrl_tpu.core import rng, warp
 from alvrl_tpu.geometry import intersect
 from alvrl_tpu.integrators.vrl.vrl import VRLs
-from alvrl_tpu.media import homogeneous as hmed
+from alvrl_tpu.media import api as mapi
 from alvrl_tpu.media import phase as ph
-from alvrl_tpu.scene.scene import DIFFUSE, NULL, Scene
+from alvrl_tpu.scene.scene import DIELECTRIC, DIFFUSE, MIRROR, NULL, Scene
 
 
 @struct.dataclass
@@ -59,23 +59,41 @@ def _sample_emission(scene: Scene, key):
     return pos, d, weight
 
 
-def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, wi):
+def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi):
     """Sample the BSDF at a surface hit in importance-transport mode.
 
     Diffuse: cosine hemisphere around the oriented normal, weight =
-    albedo (diffuse.cpp sample; mode-independent for Lambert).
+    albedo (diffuse.cpp; mode-independent for Lambert).
     Null: pass straight through with weight 1 (null.cpp, delta).
-    Returns (wo_world, weight(3,), valid)."""
+    Mirror: reflect, weight = tint. Dielectric: Fresnel-sampled lobe; in
+    EImportance mode refraction carries NO 1/eta^2 factor
+    (dielectric.cpp: the factor applies only to ERadiance).
+    Returns (wo_world, weight(3,), eta_ratio, valid)."""
+    from alvrl_tpu.integrators.vrl.specular import specular_bounce
+
     kind = scene.materials.kind[mat_id]
     albedo = scene.materials.albedo[mat_id]
-    local = warp.square_to_cosine_hemisphere(rng.uniform2(key))
+    k_d, k_s = jax.random.split(key)
+    local = warp.square_to_cosine_hemisphere(rng.uniform2(k_d))
     s, t = m.build_frame(ng)
     wo_diffuse = m.frame_to_world(s, t, ng, local)
-    is_null = kind == NULL
-    wo = jnp.where(is_null[..., None], -wi, wo_diffuse)
-    weight = jnp.where(is_null[..., None], jnp.ones_like(albedo), albedo)
-    valid = (kind == DIFFUSE) | is_null
-    return wo, weight, valid
+    wo_spec, w_spec, eta_ratio, is_delta = specular_bounce(
+        scene, k_s, mat_id, wi, ng_raw
+    )
+    # strip the radiance-only 1/eta^2 refraction factor for importance
+    # transport: weight is the tint alone on every delta lobe
+    w_spec_imp = jnp.where(
+        (kind == DIELECTRIC)[..., None],
+        jnp.where(jnp.abs(eta_ratio - 1.0)[..., None] > 1e-6,
+                  jnp.ones_like(albedo), w_spec),
+        w_spec,
+    )
+    is_diffuse = kind == DIFFUSE
+    wo = jnp.where(is_diffuse[..., None], wo_diffuse, wo_spec)
+    weight = jnp.where(is_diffuse[..., None], albedo, w_spec_imp)
+    eta_out = jnp.where(is_diffuse, 1.0, eta_ratio)
+    valid = is_diffuse | is_delta
+    return wo, weight, eta_out, valid
 
 
 def trace(scene: Scene, key, num_particles: int, cfg: TracerConfig = TracerConfig()) -> VRLs:
@@ -123,18 +141,22 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
         hit = intersect.intersect_all(
             state["ray_o"], state["ray_d"], scene.vertices, scene.faces
         )
+        # sanitize the miss case (o + inf*d) so masked lanes stay finite
+        hit = hit._replace(
+            p=jnp.where(hit.valid[..., None], hit.p, state["ray_o"])
+        )
         dist_surf = jnp.where(hit.valid, hit.t, jnp.inf)
-        ms = hmed.sample_distance(med, k_dist, dist_surf)
+        ms = mapi.sample_distance_seg(
+            med, k_dist, state["ray_o"], state["ray_d"], dist_surf
+        )
 
         active = state["active"]
         medium_event = ms.success & active
         surface_event = (~ms.success) & hit.valid & active
 
         # --- medium scattering ---------------------------------------
-        p_scatter = state["ray_o"] + ms.t[..., None] * state["ray_d"]
-        factor_med = ms.transmittance * ms.sigma_s / jnp.maximum(
-            ms.pdf_success, 1e-30
-        )[..., None]
+        p_scatter = ms.p
+        factor_med = ms.w_scatter
         wo_phase, w_phase, _ = ph.sample_hg(
             med.g, -state["ray_d"], rng.uniform2(k_phase)
         )
@@ -149,10 +171,10 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
                                       # (vrlTracer.h:159-166)
 
         # --- surface scattering --------------------------------------
-        factor_surf = ms.transmittance / jnp.maximum(ms.pdf_failure, 1e-30)
+        factor_surf = ms.w_pass
         mat_id = scene.material[jnp.maximum(hit.prim, 0)]
-        wo_bsdf, w_bsdf, bsdf_valid = _sample_bsdf_importance(
-            scene, k_bsdf, mat_id, hit.ng, state["ray_d"]
+        wo_bsdf, w_bsdf, eta_ratio, bsdf_valid = _sample_bsdf_importance(
+            scene, k_bsdf, mat_id, hit.ng, hit.ng_raw, state["ray_d"]
         )
         beta_surf = state["beta"] * factor_surf * w_bsdf
         tp_surf = state["tp"] * factor_surf * w_bsdf
@@ -178,8 +200,9 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
         new_tp = jnp.where(medium_event[..., None], tp_med, tp_surf)
         survive = (medium_event & med_store_ok) | (surface_event & ~bsdf_dead)
 
+        new_eta = jnp.where(surface_event, state["eta"] * eta_ratio, state["eta"])
         # Russian roulette (vrlTracer.h:218-228)
-        q = jnp.minimum(jnp.max(new_tp) * state["eta"] ** 2, 0.95)
+        q = jnp.minimum(jnp.max(new_tp) * new_eta ** 2, 0.95)
         do_rr = depth >= cfg.rr_depth
         u = rng.uniform(k_rr)
         rr_kill = do_rr & (u >= q)
@@ -193,7 +216,7 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
             cur_power=new_beta * rr_scale,
             beta=new_beta * rr_scale,
             tp=new_tp * rr_scale,
-            eta=state["eta"],
+            eta=new_eta,
             active=survive,
         )
         # Freeze state on lanes that were already inactive this step.

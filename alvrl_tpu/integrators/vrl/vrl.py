@@ -30,15 +30,39 @@ class VRLs:
         return self.start.shape[0]
 
 
-def compact(vrls: VRLs, capacity: int | None = None) -> VRLs:
+def compact(vrls: VRLs, capacity: int | None = None,
+            slots_per_particle: int | None = None) -> VRLs:
     """Host-side compaction: pack valid VRLs to the front (optionally
     truncating/padding to `capacity`). Run once per pass between tracing
     and rendering — keeps the render kernel from wasting lanes on
-    masked-out slots."""
+    masked-out slots.
+
+    Truncation must drop WHOLE particles (the estimator normalizes by
+    traced-particle count; dropping individual VRLs of a kept particle
+    loses transport). Pass `slots_per_particle` (= tracer max_depth)
+    when the buffer may exceed `capacity`: the largest particle prefix
+    whose VRLs fit is kept and `particle_count` is reduced accordingly —
+    the analog of the reference stopping at vrlTargetNum whole particles
+    (vrlTracer.h:29-39)."""
     valid = np.asarray(vrls.valid)
     idx = np.nonzero(valid)[0]
     if capacity is None:
         capacity = int(len(idx))
+    if len(idx) > capacity:
+        if slots_per_particle is None:
+            raise ValueError(
+                f"{len(idx)} valid VRLs exceed capacity {capacity}; pass "
+                "slots_per_particle so truncation can drop whole particles"
+            )
+        per_particle = valid.reshape(-1, slots_per_particle).sum(axis=1)
+        csum = np.cumsum(per_particle)
+        n_keep = int(np.searchsorted(csum, capacity, side="right"))
+        if n_keep == 0:
+            raise ValueError("capacity smaller than one particle's VRLs")
+        keep_mask = np.zeros_like(valid)
+        keep_mask[: n_keep * slots_per_particle] = True
+        idx = np.nonzero(valid & keep_mask)[0]
+        vrls = vrls.replace(particle_count=jnp.float32(n_keep))
     sel = idx[:capacity]
     pad = capacity - len(sel)
 

@@ -1,0 +1,86 @@
+"""Medium dispatch: one functional interface over homogeneous and grid
+media.
+
+Replaces the reference's `Medium` virtual interface
+(include/mitsuba/render/medium.h) — dispatch is static (resolved at
+trace time from the pytree type), so XLA sees only the branch taken.
+All segment queries take endpoints, which heterogeneous media need.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from alvrl_tpu.core import math as m
+from alvrl_tpu.media import heterogeneous as gmed
+from alvrl_tpu.media import homogeneous as hmed
+
+
+class DistanceSample(NamedTuple):
+    """Unified free-flight sample along a ray segment.
+
+    w_scatter: spectral throughput factor for a medium event
+               (= tau * sigma_s / pdfSuccess);
+    w_pass:    spectral factor for passing to the surface
+               (= tau / pdfFailure)."""
+
+    success: jax.Array
+    t: jax.Array
+    p: jax.Array
+    w_scatter: jax.Array
+    w_pass: jax.Array
+
+
+def is_homogeneous(med) -> bool:
+    return isinstance(med, hmed.HomogeneousMedium)
+
+
+def phase_g(med):
+    return med.g
+
+
+def transmittance(med, p0, p1):
+    """Spectral tau along the open segment (no occlusion test)."""
+    if is_homogeneous(med):
+        return hmed.eval_transmittance(med, m.distance(p0, p1))
+    return gmed.eval_transmittance(med, p0, p1)
+
+
+def eval_ray_seg(med, p0, p1):
+    """(tau, pdf_success, pdf_failure) over the segment (Medium::eval)."""
+    if is_homogeneous(med):
+        return hmed.eval_ray(med, m.distance(p0, p1))
+    return gmed.eval_ray(med, p0, p1)
+
+
+def sigma_s_at(med, p):
+    if is_homogeneous(med):
+        return jnp.broadcast_to(med.sigma_s, jnp.shape(p))
+    d = gmed.lookup_density(med, p)
+    return d[..., None] * med.sigma_s_color
+
+
+def sample_distance_seg(med, key, ray_o, ray_d, dist_surf) -> DistanceSample:
+    """Free-flight sampling along ray_o + t*ray_d, t in [0, dist_surf].
+    Scalar-lane version (vmap externally for grid media)."""
+    if is_homogeneous(med):
+        ms = hmed.sample_distance(med, key, dist_surf)
+        p = ray_o + ms.t[..., None] * ray_d
+        w_scatter = ms.transmittance * ms.sigma_s / jnp.maximum(
+            ms.pdf_success, 1e-30
+        )[..., None]
+        w_pass = ms.transmittance / jnp.maximum(ms.pdf_failure, 1e-30)[..., None]
+        return DistanceSample(
+            success=ms.success, t=ms.t, p=p,
+            w_scatter=w_scatter, w_pass=w_pass,
+        )
+    gs = gmed.sample_distance(med, key, ray_o, ray_d, dist_surf)
+    w_scatter = jnp.where(gs.success, gs.weight, 0.0)
+    w_pass = jnp.where(gs.success, 0.0, gs.weight)
+    return DistanceSample(
+        success=gs.success, t=gs.t, p=gs.p,
+        w_scatter=w_scatter, w_pass=w_pass,
+    )

@@ -1,0 +1,215 @@
+"""Heterogeneous participating medium over a density grid.
+
+Counterpart of src/medium/heterogeneous.cpp + src/volume/gridvolume.cpp:
+a scalar density field on a regular grid (trilinear interpolation,
+gridvolume.cpp:337-364) with spectral extinction sigma_t = density *
+scale * sigma_t_color, constant albedo and HG phase.
+
+Sampling follows the reference's two strategies, TPU-adapted:
+  * distance sampling: Woodcock delta tracking
+    (heterogeneous.cpp:633-658) as a bounded `lax.while_loop`; the
+    sampled distance is detached (discrete acceptance events);
+  * transmittance evaluation: deterministic fixed-step midpoint
+    quadrature of exp(-int sigma_t) (the Simpson strategy of
+    integrateDensity, heterogeneous.cpp:301) — differentiable w.r.t.
+    the voxel densities, static step count for XLA.
+
+pdfSuccess/pdfFailure semantics mirror the reference: success pdf is
+sigma_t(p) * Tr(0,t) in the *sampling channel* (scalar density), failure
+pdf is Tr(0,dist) — no mediumSamplingWeight mixture (the reference's
+heterogeneous medium does not use one).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alvrl_tpu.core import rng
+
+
+@struct.dataclass
+class GridMedium:
+    density: jax.Array       # (Dz, Dy, Dx) f32 scalar density
+    sigma_t_color: jax.Array  # (3,) spectral extinction per unit density
+    albedo: jax.Array        # (3,) single-scatter albedo
+    g: jax.Array             # HG mean cosine
+    box_min: jax.Array       # (3,)
+    box_max: jax.Array       # (3,)
+    scale: jax.Array         # scalar density multiplier
+    max_density: jax.Array   # scalar: max(density) * scale (Woodcock bound)
+
+    @property
+    def sigma_s_color(self):
+        return self.sigma_t_color * self.albedo
+
+    @property
+    def sampling_weight(self):
+        return jnp.float32(1.0)
+
+
+def make_grid_medium(density, sigma_t_color, albedo, g=0.0,
+                     box_min=(-1, -1, -1), box_max=(1, 1, 1), scale=1.0):
+    density = jnp.asarray(density, jnp.float32)
+    return GridMedium(
+        density=density,
+        sigma_t_color=jnp.asarray(sigma_t_color, jnp.float32),
+        albedo=jnp.asarray(albedo, jnp.float32),
+        g=jnp.asarray(g, jnp.float32),
+        box_min=jnp.asarray(box_min, jnp.float32),
+        box_max=jnp.asarray(box_max, jnp.float32),
+        scale=jnp.asarray(scale, jnp.float32),
+        max_density=jnp.max(density) * scale,
+    )
+
+
+def lookup_density(med: GridMedium, p):
+    """Trilinear density lookup; zero outside the box
+    (GridDataSource::lookupFloat, gridvolume.cpp:337-364).
+    Differentiable w.r.t. the voxel values."""
+    dz, dy, dx = med.density.shape
+    extent = med.box_max - med.box_min
+    q = (p - med.box_min) / extent  # [0,1]^3
+    gx = q[..., 0] * (dx - 1)
+    gy = q[..., 1] * (dy - 1)
+    gz = q[..., 2] * (dz - 1)
+    inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, dx - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, dy - 2)
+    z0 = jnp.clip(jnp.floor(gz).astype(jnp.int32), 0, dz - 2)
+    fx = jnp.clip(gx - x0, 0.0, 1.0)
+    fy = jnp.clip(gy - y0, 0.0, 1.0)
+    fz = jnp.clip(gz - z0, 0.0, 1.0)
+
+    def at(zi, yi, xi):
+        return med.density[zi, yi, xi]
+
+    d000 = at(z0, y0, x0)
+    d001 = at(z0, y0, x0 + 1)
+    d010 = at(z0, y0 + 1, x0)
+    d011 = at(z0, y0 + 1, x0 + 1)
+    d100 = at(z0 + 1, y0, x0)
+    d101 = at(z0 + 1, y0, x0 + 1)
+    d110 = at(z0 + 1, y0 + 1, x0)
+    d111 = at(z0 + 1, y0 + 1, x0 + 1)
+    c00 = d000 * (1 - fx) + d001 * fx
+    c01 = d010 * (1 - fx) + d011 * fx
+    c10 = d100 * (1 - fx) + d101 * fx
+    c11 = d110 * (1 - fx) + d111 * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    d = c0 * (1 - fz) + c1 * fz
+    return jnp.where(inside, d * med.scale, 0.0)
+
+
+# number of quadrature steps for deterministic transmittance
+N_TAU_STEPS = 32
+
+
+def optical_depth(med: GridMedium, p0, p1, n_steps=N_TAU_STEPS):
+    """Midpoint-rule integral of density along [p0, p1] (scalar)."""
+    delta = p1 - p0
+    dist = jnp.linalg.norm(delta, axis=-1)
+    ts = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
+    pts = p0[..., None, :] + ts[:, None] * delta[..., None, :]
+    dens = lookup_density(med, pts)
+    return dens.sum(axis=-1) * dist / n_steps
+
+
+def eval_transmittance(med: GridMedium, p0, p1):
+    """Spectral tau = exp(-sigma_t_color * int density)."""
+    od = optical_depth(med, p0, p1)
+    return jnp.exp(-med.sigma_t_color * od[..., None])
+
+
+def eval_ray(med: GridMedium, p0, p1):
+    """(tau, pdf_success, pdf_failure) over the segment — the
+    counterpart of HeterogeneousMedium::eval for the short-VRL
+    pdfFailure division. Sampling channel = mean sigma_t_color."""
+    od = optical_depth(med, p0, p1)
+    tau = jnp.exp(-med.sigma_t_color * od[..., None])
+    chan = jnp.mean(med.sigma_t_color)
+    tr = jnp.exp(-chan * od)
+    dens_end = lookup_density(med, p1)
+    pdf_success = chan * dens_end * tr
+    pdf_failure = tr
+    return tau, pdf_success, pdf_failure
+
+
+class GridMediumSample(NamedTuple):
+    success: jax.Array
+    t: jax.Array
+    p: jax.Array
+    transmittance: jax.Array  # (..., 3) ratio-tracking weight factor
+    pdf_success: jax.Array
+    pdf_failure: jax.Array
+    sigma_s: jax.Array        # (..., 3) at the sampled point
+    weight: jax.Array         # (..., 3) throughput factor = tau*sigma_s/pdf
+
+
+MAX_TRACKING_STEPS = 256
+
+
+def sample_distance(med: GridMedium, key, ray_o, ray_d, dist_surf):
+    """Woodcock delta tracking in the mean-sigma_t channel
+    (heterogeneous.cpp:633-658). Scalar (single-lane) version — vmap
+    over batches. Returns a GridMediumSample; `weight` already includes
+    the spectral correction tau_spectral * sigma_s / pdf at the sampled
+    point (so callers multiply throughput by `weight` directly)."""
+    chan = jnp.mean(med.sigma_t_color)
+    sig_max = jnp.maximum(med.max_density * chan, 1e-12)
+    inv_max = 1.0 / sig_max
+
+    def cond(carry):
+        t, k, done, _ = carry
+        return ~done
+
+    def body(carry):
+        t, k, done, steps = carry
+        k1, k2, k_next = jax.random.split(k, 3)
+        t_new = t - jnp.log1p(-rng.uniform(k1)) * inv_max
+        beyond = t_new >= dist_surf
+        p = ray_o + t_new * ray_d
+        dens = lookup_density(med, p)
+        sigma_t_chan = dens * chan
+        accept = rng.uniform(k2) * sig_max <= sigma_t_chan
+        done_new = beyond | accept | (steps >= MAX_TRACKING_STEPS)
+        return (t_new, k_next, done_new, steps + 1)
+
+    t0 = jnp.float32(0.0)
+    t_fin, _, _, _ = jax.lax.while_loop(
+        cond, body, (t0, key, jnp.bool_(False), jnp.int32(0))
+    )
+    t_fin = jax.lax.stop_gradient(t_fin)
+    success = t_fin < dist_surf
+    t_eff = jnp.minimum(t_fin, dist_surf)
+    p = ray_o + t_eff * ray_d
+
+    # deterministic pdfs/transmittance over [0, t_eff] for the weight
+    p_end = ray_o + t_eff * ray_d
+    tau = eval_transmittance(med, ray_o, p_end)
+    od = optical_depth(med, ray_o, p_end)
+    tr_chan = jnp.exp(-chan * od)
+    dens_end = lookup_density(med, p_end)
+    pdf_success = jnp.maximum(chan * dens_end * tr_chan, 1e-30)
+    pdf_failure = jnp.maximum(tr_chan, 1e-30)
+    sigma_s = dens_end * med.sigma_s_color
+    weight = jnp.where(
+        success,
+        (tau * sigma_s) / pdf_success,
+        tau / pdf_failure,
+    )
+    return GridMediumSample(
+        success=success,
+        t=t_eff,
+        p=p,
+        transmittance=tau,
+        pdf_success=pdf_success,
+        pdf_failure=pdf_failure,
+        sigma_s=sigma_s,
+        weight=weight,
+    )

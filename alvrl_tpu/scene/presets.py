@@ -57,6 +57,9 @@ def cornell_smoke(
     # back wall z=+1 (normal -z)
     v, f = shapes.rectangle()
     wall(v + np.array([0, 0, 1], np.float32), f[:, ::-1].copy(), M_WHITE)
+    # front wall z=-1 (normal +z, behind the camera) — closes the box so
+    # light paths stay bounded (the global medium fills the interior)
+    wall(v + np.array([0, 0, -1], np.float32), f.copy(), M_WHITE)
     # left wall x=-1 (normal +x)
     v, f = shapes.rectangle()
     v = v @ np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], np.float32).T

@@ -29,9 +29,14 @@ BASELINE_PAIR_EVALS_PER_S = 4.0e6
 def main():
     import jax
 
+    # persistent compilation cache: cold remote compiles take minutes
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from alvrl_tpu.integrators.vrl import tracer, vrl as vrl_mod
     from alvrl_tpu.integrators.vrl.integrate import VRLConfig
-    from alvrl_tpu.integrators.vrl.integrator import render_with_vrls
+    from alvrl_tpu.integrators.vrl.integrator import render_with_vrls_pallas
     from alvrl_tpu.scene import presets
 
     width = height = 128
@@ -45,11 +50,11 @@ def main():
     t0 = time.time()
     raw = tracer.trace(scene, key, 128, tracer.TracerConfig(max_depth=12))
     raw.valid.block_until_ready()
-    vrls = vrl_mod.compact(raw, n_vrls)
+    vrls = vrl_mod.compact(raw, n_vrls, slots_per_particle=12)
     print(f"traced {int(raw.valid.sum())} VRLs in {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    render = lambda k: render_with_vrls(scene, vrls, k, cfg, ray_tile=4096)
+    render = lambda k: render_with_vrls_pallas(scene, vrls, k, cfg)
 
     # warmup / compile
     t0 = time.time()

@@ -1,0 +1,92 @@
+"""Render driver tests: reproducibility, clustered-path consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alvrl_tpu.integrators.vrl import alvrl, cluster as cl, integrator, tracer, vrl as vrl_mod
+from alvrl_tpu.integrators.vrl.integrate import VRLConfig
+from alvrl_tpu.scene import presets
+
+
+def test_render_deterministic():
+    scene = presets.cornell_smoke(width=8, height=8)
+    a, _ = integrator.render_unclustered(
+        scene, jax.random.key(0), num_particles=16,
+        cfg=VRLConfig(vrl_chunk=16), tracer_cfg=tracer.TracerConfig(max_depth=4),
+        ray_tile=64,
+    )
+    b, _ = integrator.render_unclustered(
+        scene, jax.random.key(0), num_particles=16,
+        cfg=VRLConfig(vrl_chunk=16), tracer_cfg=tracer.TracerConfig(max_depth=4),
+        ray_tile=64,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tracer_produces_valid_vrls():
+    scene = presets.cornell_smoke(width=8, height=8)
+    vrls = tracer.trace(scene, jax.random.key(0), 64, tracer.TracerConfig(max_depth=8))
+    n_valid = int(vrls.valid.sum())
+    assert n_valid > 32
+    v = np.asarray(vrls.valid)
+    s = np.asarray(vrls.start)[v]
+    e = np.asarray(vrls.end)[v]
+    p = np.asarray(vrls.power)[v]
+    assert np.isfinite(s).all() and np.isfinite(e).all() and np.isfinite(p).all()
+    assert (np.linalg.norm(e - s, axis=-1) > 0).all()
+    assert (p >= 0).all() and (p.sum(axis=-1) > 0).all()
+    # all VRL endpoints inside the scene bounds (closed box)
+    lo, hi = scene.aabb()
+    assert (s >= np.asarray(lo) - 1e-3).all() and (s <= np.asarray(hi) + 1e-3).all()
+
+
+def test_clustered_consistency():
+    """Clustered render is an unbiased subsampling of the unclustered
+    one: means agree within a few percent."""
+    scene = presets.cornell_smoke(width=12, height=12)
+    cfg = VRLConfig(vrl_chunk=32)
+    raw = tracer.trace(scene, jax.random.key(0), 64, tracer.TracerConfig(max_depth=10))
+    vrls = vrl_mod.compact(raw, 128, slots_per_particle=10)
+
+    un = np.asarray(
+        integrator.render_with_vrls(scene, vrls, jax.random.key(5), cfg, ray_tile=72)
+    )
+    params = alvrl.ALVRLParams(
+        cluster=cl.ClusterParams(target_num_slices=12, target_pixel_undersampling=6.0)
+    )
+    sop, tv, tw, info = alvrl.prepare_clustering(
+        scene, vrls, jax.random.key(1), params, cfg
+    )
+    imgs = [
+        np.asarray(
+            integrator.render_clustered(
+                scene, vrls, sop, tv, tw, jax.random.key(10 + i), cfg, ray_tile=72
+            )
+        )
+        for i in range(3)
+    ]
+    clu = np.mean(imgs, axis=0)
+    assert np.isfinite(clu).all()
+    ratio = clu.mean() / un.mean()
+    assert 0.85 < ratio < 1.15, ratio
+    # clustering must actually reduce work
+    reps_per_pixel = float((np.asarray(tw) > 0).sum(axis=1).mean())
+    assert reps_per_pixel < vrls.capacity
+
+
+def test_alvrl_full_pipeline():
+    scene = presets.cornell_smoke(width=8, height=8)
+    img, vrls, info = alvrl.render_alvrl(
+        scene,
+        params=alvrl.ALVRLParams(
+            vrl_target_num=64, num_particles=32,
+            cluster=cl.ClusterParams(target_num_slices=8, target_pixel_undersampling=4.0),
+        ),
+        cfg=VRLConfig(vrl_chunk=32),
+        tracer_cfg=tracer.TracerConfig(max_depth=8),
+        ray_tile=64,
+    )
+    assert img.shape == (8, 8, 3)
+    assert bool(jnp.isfinite(img).all())
+    assert float(img.max()) > 0

@@ -1,0 +1,91 @@
+"""Volpath tests: single-scatter vs deterministic quadrature.
+
+The single-scatter radiance of a point light in a homogeneous medium
+has a 1D integral form
+    Li(ray) = int_0^T sigma_s tau(0,s) phase(cos) I/r(s)^2 tau(s->L) V ds
+which we evaluate by dense quadrature on the host and compare against
+the Monte Carlo volpath in single-scatter mode — the analog of the
+reference's analytic fixtures (data/tests/, SURVEY §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alvrl_tpu.core import math as m
+from alvrl_tpu.geometry import intersect
+from alvrl_tpu.integrators import volpath
+from alvrl_tpu.media import phase as ph
+from alvrl_tpu.scene import presets
+
+
+def _single_scatter_quadrature(scene, o, d, n_steps=4000):
+    hit = intersect.intersect_all(
+        jnp.asarray(o), jnp.asarray(d), scene.vertices, scene.faces
+    )
+    t_max = float(hit.t)
+    light = np.asarray(scene.emitters.position[0])
+    inten = np.asarray(scene.emitters.intensity[0])
+    sig_t = np.asarray(scene.medium.sigma_t)
+    sig_s = np.asarray(scene.medium.sigma_s)
+    g = float(scene.medium.g)
+    o = np.asarray(o)
+    d = np.asarray(d)
+
+    s = (np.arange(n_steps) + 0.5) * (t_max / n_steps)
+    p = o[None, :] + s[:, None] * d[None, :]
+    r = np.linalg.norm(light[None, :] - p, axis=-1)
+    to_l = (light[None, :] - p) / r[:, None]
+    # visibility via the jax occlusion helper
+    vis = ~np.asarray(
+        intersect.occluded(
+            jnp.asarray(p, jnp.float32),
+            jnp.broadcast_to(jnp.asarray(light), (n_steps, 3)),
+            scene.vertices,
+            scene.faces,
+            scene.opaque_faces(),
+        )
+    )
+    cos = np.sum((-d[None, :]) * to_l, axis=-1)
+    phase = np.asarray(
+        ph.eval_hg(jnp.float32(g), jnp.asarray(-d, jnp.float32)[None, :].repeat(n_steps, 0), jnp.asarray(to_l, jnp.float32))
+    )
+    tau_cam = np.exp(-sig_t[None, :] * s[:, None])
+    tau_l = np.exp(-sig_t[None, :] * r[:, None])
+    integrand = (
+        sig_s[None, :] * tau_cam * tau_l * phase[:, None]
+        * (inten[None, :] / (r * r)[:, None]) * vis[:, None]
+    )
+    return integrand.sum(axis=0) * (t_max / n_steps)
+
+
+def test_single_scatter_matches_quadrature():
+    scene = presets.cornell_smoke(width=4, height=4, with_blocker=True)
+    o = np.array([0.0, 0.0, -0.99], np.float32)
+    d = np.array([0.05, -0.1, 1.0], np.float32)
+    d = d / np.linalg.norm(d)
+
+    expected = _single_scatter_quadrature(scene, o, d)
+
+    cfg = volpath.VolpathConfig(
+        max_depth=2, only_vrl_paths=False, single_scatter=True
+    )
+    n = 3000
+    keys = jax.random.split(jax.random.key(0), n)
+    li = jax.vmap(
+        lambda k: volpath.li_volpath(
+            scene, jnp.asarray(o), jnp.asarray(d), k, cfg
+        )
+    )(keys)
+    est = np.asarray(li).mean(axis=0)
+    np.testing.assert_allclose(est, expected, rtol=0.08)
+
+
+def test_volpath_render_finite():
+    scene = presets.cornell_smoke(width=8, height=8)
+    img = volpath.render_volpath(
+        scene, jax.random.key(1), spp=8,
+        cfg=volpath.VolpathConfig(max_depth=6), ray_tile=64,
+    )
+    assert bool(jnp.isfinite(img).all())
+    assert float(img.max()) > 0
