@@ -1,0 +1,157 @@
+"""Emitter table + sampling.
+
+Counterpart of src/emitters/{point,spot,directional}.cpp as one
+struct-of-arrays table with a kind field (the plugin dispatch becomes
+masked arithmetic). Area emitters attach to mesh faces and are planned
+with the mesh-light sampling records.
+
+Conventions match the reference:
+  * point: samplePosition weight = intensity * 4pi (point.cpp:82-89),
+    direction uniform sphere, weight 1;
+  * spot: uniform-cone direction sampling within cutoffAngle, linear
+    falloff between beamWidth and cutoffAngle (spot.cpp), position
+    weight = intensity * 2pi(1-cos cutoff) so the product of
+    position/direction weights integrates the emitted power;
+  * directional: a delta direction; photons start on a disk covering
+    the scene bounding sphere, weight = irradiance * pi r^2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alvrl_tpu.core import math as m
+from alvrl_tpu.core import rng, spectrum, warp
+
+POINT = 0
+SPOT = 1
+DIRECTIONAL = 2
+
+
+@struct.dataclass
+class Emitters:
+    kind: jax.Array        # (E,) int32
+    position: jax.Array    # (E, 3)
+    direction: jax.Array   # (E, 3) unit (spot/directional)
+    intensity: jax.Array   # (E, 3) radiant intensity / irradiance
+    cos_cutoff: jax.Array  # (E,) spot cutoff cosine
+    cos_beam: jax.Array    # (E,) spot full-strength beam cosine
+    pmf: jax.Array         # (E,) selection pmf
+
+
+def make_emitters(kinds, positions, intensities, directions=None,
+                  cutoff_deg=None, beam_deg=None):
+    kinds = jnp.asarray(kinds, jnp.int32).reshape(-1)
+    e = kinds.shape[0]
+    positions = jnp.asarray(positions, jnp.float32).reshape(e, 3)
+    intensities = jnp.asarray(intensities, jnp.float32).reshape(e, 3)
+    if directions is None:
+        directions = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (e, 1))
+    else:
+        directions = m.normalize(jnp.asarray(directions, jnp.float32).reshape(e, 3))
+    cutoff = jnp.cos(jnp.deg2rad(
+        jnp.asarray(cutoff_deg if cutoff_deg is not None else [20.0] * e, jnp.float32)
+    ))
+    beam = jnp.cos(jnp.deg2rad(
+        jnp.asarray(beam_deg if beam_deg is not None else
+                    [15.0] * e, jnp.float32)
+    ))
+    lum = spectrum.luminance(intensities)
+    pmf = lum / jnp.maximum(jnp.sum(lum), 1e-30)
+    return Emitters(
+        kind=kinds, position=positions, direction=directions,
+        intensity=intensities, cos_cutoff=cutoff, cos_beam=beam, pmf=pmf,
+    )
+
+
+def _spot_falloff(em: Emitters, idx, d):
+    """Linear falloff between beamWidth and cutoffAngle (spot.cpp)."""
+    cos_d = m.dot(d, em.direction[idx])
+    cc = em.cos_cutoff[idx]
+    cb = em.cos_beam[idx]
+    t = jnp.clip((cos_d - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+    return jnp.where(cos_d < cc, 0.0, t)
+
+
+def sample_emission(em: Emitters, key, scene_center, scene_radius):
+    """Pick an emitter, sample position + direction for a light path.
+    Returns (position, direction, weight (3,))."""
+    k_sel, k_dir, k_pos = jax.random.split(key, 3)
+    idx = jax.random.choice(k_sel, em.pmf.shape[0], p=em.pmf)
+    kind = em.kind[idx]
+    inten = em.intensity[idx] / em.pmf[idx]
+
+    # point: uniform sphere
+    d_sphere = warp.square_to_uniform_sphere(rng.uniform2(k_dir))
+    w_point = inten * (4.0 * jnp.pi)
+
+    # spot: uniform cone around the axis
+    u2 = rng.uniform2(k_dir)
+    cc = em.cos_cutoff[idx]
+    cos_t = 1.0 - u2[..., 0] * (1.0 - cc)
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    local = m.spherical_direction(cos_t, phi)
+    axis = em.direction[idx]
+    s_f, t_f = m.build_frame(axis)
+    d_cone = m.frame_to_world(s_f, t_f, axis, local)
+    solid_angle = 2.0 * jnp.pi * (1.0 - cc)
+    w_spot = inten * solid_angle * _spot_falloff(em, idx, d_cone)[..., None]
+
+    # directional: disk of radius R behind the scene
+    u2b = rng.uniform2(k_pos)
+    r = scene_radius * jnp.sqrt(u2b[..., 0])
+    phi2 = 2.0 * jnp.pi * u2b[..., 1]
+    axis_d = em.direction[idx]
+    s2, t2 = m.build_frame(axis_d)
+    disk = (
+        scene_center
+        - axis_d * scene_radius * 1.5
+        + s2 * (r * jnp.cos(phi2))[..., None]
+        + t2 * (r * jnp.sin(phi2))[..., None]
+    )
+    area = jnp.pi * scene_radius * scene_radius
+    w_dir = inten * area
+
+    pos = jnp.where(
+        (kind == DIRECTIONAL)[..., None], disk, em.position[idx]
+    )
+    d = jnp.where(
+        (kind == POINT)[..., None], d_sphere,
+        jnp.where((kind == SPOT)[..., None], d_cone, axis_d),
+    )
+    weight = jnp.where(
+        (kind == POINT)[..., None], w_point,
+        jnp.where((kind == SPOT)[..., None], w_spot, w_dir),
+    )
+    return pos, d, weight
+
+
+def nee(em: Emitters, key, p, scene_radius):
+    """Direct sampling toward the emitters from point p.
+    Returns (direction (3,), unattenuated value (3,), distance)."""
+    idx = jax.random.choice(key, em.pmf.shape[0], p=em.pmf)
+    kind = em.kind[idx]
+    inten = em.intensity[idx] / em.pmf[idx]
+
+    delta = em.position[idx] - p
+    dist2 = jnp.maximum(m.length_sq(delta), 1e-12)
+    dist = jnp.sqrt(dist2)
+    dirn = delta / dist[..., None]
+    v_point = inten / dist2[..., None]
+    v_spot = v_point * _spot_falloff(em, idx, -dirn)[..., None]
+
+    # directional: pseudo-source far along -direction
+    d_dir = -em.direction[idx]
+    dist_dir = 2.0 * scene_radius
+    v_dir = inten
+
+    is_dir = kind == DIRECTIONAL
+    out_d = jnp.where(is_dir[..., None], d_dir, dirn)
+    out_v = jnp.where(
+        (kind == POINT)[..., None], v_point,
+        jnp.where((kind == SPOT)[..., None], v_spot, v_dir),
+    )
+    out_dist = jnp.where(is_dir, dist_dir, dist)
+    return out_d, out_v, out_dist

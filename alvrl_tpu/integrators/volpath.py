@@ -50,20 +50,18 @@ class VolpathConfig:
 
 
 def _nee_point_light(scene: Scene, key, p):
-    """Next-event estimation against the point emitters: returns
-    (direction_to_light (3,), value (3,) = intensity/r^2 * tau / pmf).
-    Counterpart of Scene::sampleAttenuatedEmitterDirect for EDiscrete
-    emitters (MIS weight 1 since they cannot be hit by BSDF/phase
-    sampling)."""
-    em = scene.emitters
-    idx = jax.random.choice(key, em.pmf.shape[0], p=em.pmf)
-    light_p = em.position[idx]
-    delta = light_p - p
-    dist2 = jnp.maximum(m.length_sq(delta), 1e-12)
-    dirn = delta / jnp.sqrt(dist2)[..., None]
-    tau = eval_transmittance_between(scene, p, light_p)
-    value = em.intensity[idx] / dist2[..., None] * tau / em.pmf[idx]
-    return dirn, value
+    """Next-event estimation against the emitter table: returns
+    (direction_to_light (3,), attenuated value (3,)). Counterpart of
+    Scene::sampleAttenuatedEmitterDirect for delta emitters (MIS weight
+    1 since they cannot be hit by BSDF/phase sampling)."""
+    from alvrl_tpu.emitters import emitters as em_mod
+
+    lo, hi = scene.aabb()
+    radius = 0.5 * jnp.linalg.norm(hi - lo)
+    dirn, val, dist = em_mod.nee(scene.emitters, key, p, radius)
+    endpoint = p + dist[..., None] * dirn
+    tau = eval_transmittance_between(scene, p, endpoint)
+    return dirn, val * tau
 
 
 def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):

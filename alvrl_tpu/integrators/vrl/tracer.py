@@ -45,18 +45,14 @@ class TracerConfig:
 
 
 def _sample_emission(scene: Scene, key):
-    """Pick an emitter by pmf; return (position, direction, weight).
+    """Sample an emission event: emitter by pmf, then a position and
+    direction per emitter kind (alvrl_tpu.emitters.emitters)."""
+    from alvrl_tpu.emitters import emitters as em_mod
 
-    Point emitter: position weight = intensity * 4pi / pmf
-    (point.cpp:82-89), direction uniform over the sphere with weight 1
-    (perfectly importance sampled, point.cpp:100-112)."""
-    k_sel, k_dir = jax.random.split(key)
-    em = scene.emitters
-    idx = jax.random.choice(k_sel, em.pmf.shape[0], p=em.pmf)
-    pos = em.position[idx]
-    weight = em.intensity[idx] * (4.0 * jnp.pi) / em.pmf[idx]
-    d = warp.square_to_uniform_sphere(rng.uniform2(k_dir))
-    return pos, d, weight
+    lo, hi = scene.aabb()
+    center = 0.5 * (lo + hi)
+    radius = 0.5 * jnp.linalg.norm(hi - lo)
+    return em_mod.sample_emission(scene.emitters, key, center, radius)
 
 
 def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi):

@@ -1,0 +1,127 @@
+"""Triangle-mesh loaders: OBJ and PLY.
+
+Counterpart of src/shapes/{obj,ply}.cpp (the serialized .mts format is
+reference-internal; OBJ/PLY cover the shared assets, e.g. bunny.ply in
+data/tests). Pure numpy, triangulates polygon faces by fanning.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import numpy as np
+
+
+def load_obj(path):
+    """Returns (vertices (V,3) f32, faces (F,3) i32)."""
+    verts = []
+    faces = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = []
+                for tok in line.split()[1:]:
+                    vi = tok.split("/")[0]
+                    i = int(vi)
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for k in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32).reshape(-1, 3),
+    )
+
+
+_PLY_TYPES = {
+    "char": ("b", 1), "uchar": ("B", 1), "int8": ("b", 1), "uint8": ("B", 1),
+    "short": ("h", 2), "ushort": ("H", 2), "int16": ("h", 2), "uint16": ("H", 2),
+    "int": ("i", 4), "uint": ("I", 4), "int32": ("i", 4), "uint32": ("I", 4),
+    "float": ("f", 4), "float32": ("f", 4),
+    "double": ("d", 8), "float64": ("d", 8),
+}
+
+
+def load_ply(path):
+    """ASCII and binary-little/big-endian PLY. Returns (verts, faces)."""
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"ply"
+        fmt = None
+        elements = []  # (name, count, [(prop_type, prop_name) | list prop])
+        cur = None
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("comment"):
+                continue
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, cnt = line.split()
+                cur = (name, int(cnt), [])
+                elements.append(cur)
+            elif line.startswith("property"):
+                parts = line.split()
+                if parts[1] == "list":
+                    cur[2].append(("list", parts[2], parts[3], parts[4]))
+                else:
+                    cur[2].append(("scalar", parts[1], parts[2]))
+            elif line == "end_header":
+                break
+
+        verts = None
+        faces = []
+        if fmt == "ascii":
+            for name, count, props in elements:
+                rows = [f.readline().split() for _ in range(count)]
+                if name == "vertex":
+                    names = [p[2] for p in props]
+                    ix, iy, iz = names.index("x"), names.index("y"), names.index("z")
+                    verts = np.asarray(
+                        [[float(r[ix]), float(r[iy]), float(r[iz])] for r in rows],
+                        np.float32,
+                    )
+                elif name == "face":
+                    for r in rows:
+                        n = int(r[0])
+                        idx = [int(x) for x in r[1:1 + n]]
+                        for k in range(1, n - 1):
+                            faces.append([idx[0], idx[k], idx[k + 1]])
+        else:
+            endian = "<" if "little" in fmt else ">"
+            for name, count, props in elements:
+                if name == "vertex":
+                    fmt_str = endian + "".join(
+                        _PLY_TYPES[p[1]][0] for p in props
+                    )
+                    size = _struct.calcsize(fmt_str)
+                    names = [p[2] for p in props]
+                    ix, iy, iz = names.index("x"), names.index("y"), names.index("z")
+                    data = [
+                        _struct.unpack(fmt_str, f.read(size))
+                        for _ in range(count)
+                    ]
+                    verts = np.asarray(
+                        [[d[ix], d[iy], d[iz]] for d in data], np.float32
+                    )
+                elif name == "face":
+                    p = props[0]
+                    cnt_fmt, cnt_sz = _PLY_TYPES[p[1]]
+                    idx_fmt, idx_sz = _PLY_TYPES[p[2]]
+                    for _ in range(count):
+                        (n,) = _struct.unpack(
+                            endian + cnt_fmt, f.read(cnt_sz)
+                        )
+                        idx = _struct.unpack(
+                            endian + idx_fmt * n, f.read(idx_sz * n)
+                        )
+                        for k in range(1, n - 1):
+                            faces.append([idx[0], idx[k], idx[k + 1]])
+                else:
+                    # skip unknown fixed-size elements
+                    fmt_str = endian + "".join(
+                        _PLY_TYPES[p[1]][0] for p in props if p[0] == "scalar"
+                    )
+                    f.read(_struct.calcsize(fmt_str) * count)
+    return verts, np.asarray(faces, np.int32).reshape(-1, 3)

@@ -110,3 +110,40 @@ def cornell_smoke(
         medium=medium,
         camera=camera,
     )
+
+
+def cornell_smoke_hg(width=256, height=256, g=0.8):
+    """BASELINE config 3: anisotropic HG phase (g=0.8) exercising the
+    volSurfSamples surface-coupling path."""
+    return cornell_smoke(
+        width=width, height=height, g=g,
+        sigma_s=(0.6, 0.6, 0.6), sigma_a=(0.04, 0.04, 0.04),
+    )
+
+
+def cornell_grid_smoke(width=512, height=512, grid_res=48):
+    """BASELINE config 4: heterogeneous grid-volume smoke with textured
+    sigma_t (a turbulent plume-like density), clustered VRLs."""
+    import numpy as _np
+
+    from alvrl_tpu.media.heterogeneous import make_grid_medium
+
+    base = cornell_smoke(width=width, height=height, with_blocker=False)
+    r = grid_res
+    z, y, x = _np.meshgrid(
+        _np.linspace(-1, 1, r), _np.linspace(-1, 1, r),
+        _np.linspace(-1, 1, r), indexing="ij",
+    )
+    # plume: vertical gaussian column + pseudo-turbulence harmonics
+    rad2 = x ** 2 + z ** 2
+    plume = _np.exp(-6.0 * rad2 / (0.35 + 0.65 * (y + 1) / 2))
+    turb = (
+        0.5 * _np.sin(7 * x + 5 * y) * _np.cos(6 * z - 4 * y)
+        + 0.3 * _np.sin(13 * z + 11 * x)
+    )
+    dens = _np.clip(plume * (1.0 + 0.5 * turb), 0.0, None) * 2.5
+    medium = make_grid_medium(
+        dens.astype(_np.float32), [1.0, 1.05, 1.1], [0.92, 0.92, 0.92],
+        g=0.3,
+    )
+    return base.replace(medium=medium)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from alvrl_tpu.emitters.emitters import Emitters
 from alvrl_tpu.media.homogeneous import HomogeneousMedium
 
 # Material kinds (BSDF plugin equivalents, src/bsdfs/)
@@ -33,34 +34,32 @@ class Materials:
     eta: jax.Array       # (M,) ior for dielectrics (1.0 otherwise)
 
 
-@struct.dataclass
-class PointEmitters:
-    """Isotropic point lights (src/emitters/point.cpp).
-
-    position: (E, 3); intensity: (E, 3) radiant intensity [W/sr].
-    pmf: (E,) discrete selection pmf (luminance-weighted, the
-    counterpart of Scene::m_emitterPDF, scene.cpp:378-380).
-    """
-
-    position: jax.Array
-    intensity: jax.Array
-    pmf: jax.Array
+# sensor kinds (src/sensors/)
+PERSPECTIVE = 0   # perspective.cpp (pinhole)
+THINLENS = 1      # thinlens.cpp (aperture + focus distance)
+ORTHOGRAPHIC = 2  # orthographic.cpp
+SPHERICAL = 3     # spherical.cpp (equirectangular)
 
 
 @struct.dataclass
 class Camera:
-    """Perspective pinhole sensor (src/sensors/perspective.cpp).
+    """Sensor (src/sensors/perspective.cpp and friends).
 
     to_world: (4, 4) camera-to-world; camera space looks down +z with
     x right, y up (mitsuba convention). fov is the horizontal field of
-    view in degrees. Resolution lives here as static metadata so ray
-    generation shapes are compile-time constants.
+    view in degrees (perspective/thinlens); ortho_scale the half-width
+    of the orthographic film in world units. Resolution and kind live
+    here as static metadata so ray generation is compile-time shaped.
     """
 
     to_world: jax.Array
     fov_x_deg: jax.Array
+    aperture_radius: float = 0.0
+    focus_distance: float = 1.0
+    ortho_scale: float = 1.0
     width: int = struct.field(pytree_node=False, default=128)
     height: int = struct.field(pytree_node=False, default=128)
+    kind: int = struct.field(pytree_node=False, default=PERSPECTIVE)
 
 
 @struct.dataclass
@@ -69,7 +68,7 @@ class Scene:
     faces: jax.Array      # (T, 3) i32
     material: jax.Array   # (T,) i32 per-face material id
     materials: Materials
-    emitters: PointEmitters
+    emitters: Emitters
     medium: HomogeneousMedium  # global medium filling the scene
     camera: Camera
 
@@ -109,12 +108,10 @@ def look_at(origin, target, up):
 
 
 def make_point_emitters(positions, intensities):
-    from alvrl_tpu.core import spectrum as spec
+    """Point-light convenience constructor (luminance-weighted selection
+    pmf, the counterpart of Scene::m_emitterPDF, scene.cpp:378-380)."""
+    from alvrl_tpu.emitters.emitters import POINT, make_emitters
 
     positions = jnp.asarray(positions, jnp.float32).reshape(-1, 3)
-    intensities = jnp.asarray(intensities, jnp.float32).reshape(-1, 3)
-    # Luminance-weighted selection pmf, as Scene::initialize builds
-    # m_emitterPDF from emitter power (scene.cpp:378-380).
-    lum = spec.luminance(intensities)
-    pmf = lum / jnp.maximum(jnp.sum(lum), 1e-30)
-    return PointEmitters(position=positions, intensity=intensities, pmf=pmf)
+    n = positions.shape[0]
+    return make_emitters([POINT] * n, positions, intensities)

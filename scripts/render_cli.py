@@ -1,0 +1,99 @@
+"""Command-line renderer — counterpart of the `mitsuba` CLI
+(src/mitsuba/mitsuba.cpp): parse a scene (JSON, or Mitsuba-0.5 XML
+subset), run the requested integrator, write the image.
+
+Usage:
+  python scripts/render_cli.py scene.json -o out.pfm \
+      [-i vrl|alvrl|volpath] [-p passes] [-D key=value] [--seed N]
+      [--particles N] [--vrls N] [--png preview.png] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import scripts._cache  # noqa: F401
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene")
+    ap.add_argument("-o", "--output", default="out.pfm")
+    ap.add_argument("-i", "--integrator", default="vrl",
+                    choices=["vrl", "alvrl", "volpath"])
+    ap.add_argument("-p", "--passes", type=int, default=4)
+    ap.add_argument("-D", "--define", action="append", default=[])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--particles", type=int, default=128)
+    ap.add_argument("--vrls", type=int, default=512)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--png", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("-L", "--log-level", default="INFO")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from alvrl_tpu.core.logging import configure, get_logger
+    from alvrl_tpu.core.stats import STATS
+    from alvrl_tpu.io import image as image_io
+    from alvrl_tpu.scene import loader
+
+    configure(args.log_level)
+    log = get_logger("cli")
+
+    defines = dict(kv.split("=", 1) for kv in args.define)
+    if args.scene.endswith(".xml"):
+        desc = loader.convert_mitsuba_xml(args.scene, defines)
+        scene = loader.build_scene(desc)
+    else:
+        scene = loader.load_json(args.scene, defines)
+    log.info("scene: %d tris, %dx%d", scene.num_tris,
+             scene.camera.width, scene.camera.height)
+
+    t0 = time.time()
+    if args.integrator == "volpath":
+        from alvrl_tpu.integrators import volpath
+
+        img = volpath.render_volpath(
+            scene, jax.random.key(args.seed), spp=args.spp,
+        )
+        import numpy as np
+
+        img = np.asarray(img)
+    else:
+        from alvrl_tpu.integrators.progressive import (
+            ProgressiveConfig,
+            render_progressive,
+        )
+        from alvrl_tpu.integrators.vrl.alvrl import ALVRLParams
+
+        img = render_progressive(
+            scene, jax.random.key(args.seed),
+            ProgressiveConfig(
+                max_passes=args.passes,
+                clustered=(args.integrator == "alvrl"),
+            ),
+            ALVRLParams(vrl_target_num=args.vrls,
+                        num_particles=args.particles),
+        )
+    log.info("rendered in %.1fs, mean %.4g", time.time() - t0, img.mean())
+
+    if args.output.endswith(".npy"):
+        image_io.write_npy(args.output, img)
+    else:
+        image_io.write_pfm(args.output, img)
+    if args.png:
+        image_io.write_png(args.png, img)
+    log.info("wrote %s", args.output)
+    print(STATS.format_table(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

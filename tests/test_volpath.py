@@ -56,7 +56,28 @@ def _single_scatter_quadrature(scene, o, d, n_steps=4000):
         sig_s[None, :] * tau_cam * tau_l * phase[:, None]
         * (inten[None, :] / (r * r)[:, None]) * vis[:, None]
     )
-    return integrand.sum(axis=0) * (t_max / n_steps)
+    medium_term = integrand.sum(axis=0) * (t_max / n_steps)
+
+    # direct surface term: survive the medium to the hit, then diffuse
+    # NEE at the wall (included by the tracer's surface branch)
+    hp = np.asarray(hit.p)
+    ng = np.asarray(hit.ng)
+    mat = int(np.asarray(scene.material[int(hit.prim)]))
+    alb = np.asarray(scene.materials.albedo[mat])
+    rl = np.linalg.norm(light - hp)
+    to_l = (light - hp) / rl
+    vis_s = not bool(
+        intersect.occluded(
+            jnp.asarray(hp), jnp.asarray(light),
+            scene.vertices, scene.faces, scene.opaque_faces(),
+        )
+    )
+    cos_o = max(float(np.dot(ng, to_l)), 0.0)
+    surf_term = (
+        np.exp(-sig_t * t_max) * alb / np.pi * cos_o
+        * inten / (rl * rl) * np.exp(-sig_t * rl) * float(vis_s)
+    )
+    return medium_term + surf_term
 
 
 def test_single_scatter_matches_quadrature():
