@@ -92,6 +92,10 @@ def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi):
     return wo, weight, eta_out, valid
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("num_particles", "cfg"))
 def trace(scene: Scene, key, num_particles: int, cfg: TracerConfig = TracerConfig()) -> VRLs:
     """Trace `num_particles` light paths; returns a VRLs buffer with
     capacity num_particles * max_depth (masked)."""

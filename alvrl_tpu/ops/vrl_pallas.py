@@ -250,14 +250,21 @@ def _kernel(
         arc = dot_pr + t
         return arc, pdf
 
-    def occluded(px_, py_, pz_, qx_, qy_, qz_):
-        """Any opaque triangle crossing the open segment p->q."""
-        ddx, ddy, ddz = qx_ - px_, qy_ - py_, qz_ - pz_
-        dist = jnp.sqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-30))
-        idist = 1.0 / dist
-        ux, uy, uz = ddx * idist, ddy * idist, ddz * idist
-        lo = 1e-3 * jnp.maximum(dist, 1.0)
-        hi = dist - lo
+    def occluded_multi(segments):
+        """One triangle sweep testing every sample segment: each loop
+        iteration loads a triangle's 9 scalars once and intersects all
+        (p -> q) segments (amortizes SMEM loads + loop overhead over
+        volVol+volSurf samples). segments: list of (p, q) point tuples;
+        returns list of blocked masks."""
+        pre = []
+        for (px_, py_, pz_), (qx_, qy_, qz_) in segments:
+            ddx, ddy, ddz = qx_ - px_, qy_ - py_, qz_ - pz_
+            dist = jnp.sqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-30))
+            idist = 1.0 / dist
+            ux, uy, uz = ddx * idist, ddy * idist, ddz * idist
+            lo = 1e-3 * jnp.maximum(dist, 1.0)
+            hi = dist - lo
+            pre.append((px_, py_, pz_, ux, uy, uz, lo, hi))
 
         def body(t, blocked):
             base = t * 9
@@ -270,34 +277,37 @@ def _kernel(
             e2x = tri_ref[base + 6]
             e2y = tri_ref[base + 7]
             e2z = tri_ref[base + 8]
-            pvx = uy * e2z - uz * e2y
-            pvy = uz * e2x - ux * e2z
-            pvz = ux * e2y - uy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvx, tvy, tvz = px_ - p0x, py_ - p0y, pz_ - p0z
-            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            vv = (ux * qvx + uy * qvy + uz * qvz) * inv_det
-            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-            hit = (
-                (jnp.abs(det) > 1e-12)
-                & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                & (tt > lo) & (tt < hi)
-            )
-            # f32 carry: scf.for cannot legalize vector<i1> loop state
-            return jnp.where(hit, 1.0, blocked)
+            out = []
+            for k, (px_, py_, pz_, ux, uy, uz, lo, hi) in enumerate(pre):
+                pvx = uy * e2z - uz * e2y
+                pvy = uz * e2x - ux * e2z
+                pvz = ux * e2y - uy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx, tvy, tvz = px_ - p0x, py_ - p0y, pz_ - p0z
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = (ux * qvx + uy * qvy + uz * qvz) * inv_det
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                hit = (
+                    (jnp.abs(det) > 1e-12)
+                    & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > lo) & (tt < hi)
+                )
+                # f32 carry: scf.for cannot legalize vector<i1> state
+                out.append(jnp.where(hit, 1.0, blocked[k]))
+            return tuple(out)
 
-        blocked = jax.lax.fori_loop(
-            0, n_tris, body, jnp.zeros(shape, jnp.float32)
-        )
-        return blocked > 0.5
+        init = tuple(jnp.zeros(shape, jnp.float32) for _ in segments)
+        blocked = jax.lax.fori_loop(0, n_tris, body, init)
+        return [b > 0.5 for b in blocked]
 
     acc = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
 
-    # ---------------- vol-vol samples --------------------------------
+    # ---------------- sample generation ------------------------------
+    vv_samples = []
     for _ in range(vol_vol_samples):
         u1 = _u01(shape)
         u2 = _u01(shape)
@@ -309,45 +319,13 @@ def _kernel(
         ux_p = ox + arc_u * dx
         uy_p = oy + arc_u * dy
         uz_p = oz + arc_u * dz
-
-        dxuv, dyuv, dzuv = ux_p - vx_, uy_p - vy_, uz_p - vz_
-        d_uv2 = dxuv * dxuv + dyuv * dyuv + dzuv * dzuv
-        d_uv = jnp.sqrt(jnp.maximum(d_uv2, 1e-30))
-        i_uv = 1.0 / d_uv
-        vux, vuy, vuz = dxuv * i_uv, dyuv * i_uv, dzuv * i_uv
-
-        blocked = occluded(ux_p, uy_p, uz_p, vx_, vy_, vz_)
-
-        d_eu = jnp.abs(arc_u)
-        d_sv = jnp.abs(arc_v)
-        pdf = pdf_v * pdf_u
-        ok = (
-            pair_mask & ~blocked & (d_uv2 > 0.0) & (pdf > 0.0)
+        vv_samples.append(
+            dict(arc_u=arc_u, arc_v=arc_v, pdf=pdf_v * pdf_u,
+                 u=(ux_p, uy_p, uz_p), v=(vx_, vy_, vz_))
         )
-        # phase terms
-        ph_u = _hg(g, -_dot3(vux, vuy, vuz, dx, dy, dz))
-        ph_v = _hg(g, -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz))
-        geo = jnp.where(
-            ok, ph_u * ph_v / jnp.maximum(pdf * d_uv2, 1e-30), 0.0
-        )
-        # pdfFailure of the vrl segment (balance strategy, 3 channels)
-        if short_vrls:
-            pf = (
-                jnp.exp(-sig_t[0] * d_sv)
-                + jnp.exp(-sig_t[1] * d_sv)
-                + jnp.exp(-sig_t[2] * d_sv)
-            ) * (1.0 / 3.0)
-            pf = msw * pf + (1.0 - msw)
-            geo = geo / jnp.maximum(pf, 1e-30)
-        for ch in range(3):
-            tau = jnp.exp(-sig_t[ch] * (d_eu + d_uv + d_sv))
-            acc[ch] += (
-                pw[ch] * sig_s[ch] * sig_s[ch] * tau * geo
-                * (1.0 / vol_vol_samples)
-            )
 
-    # ---------------- vol-surf samples -------------------------------
     alb_any = (alb[0] + alb[1] + alb[2]) > 0.0
+    vs_samples = []
     for _ in range(vol_surf_samples):
         u1 = _u01(shape)
         # Kulla sampling of V on the vrl w.r.t. the surface point
@@ -375,22 +353,69 @@ def _kernel(
         vx_ = sx + arc_v * ux_v
         vy_ = sy + arc_v * uy_v
         vz_ = sz + arc_v * uz_v
+        vs_samples.append(
+            dict(arc_v=arc_v, pdf=pdf_v, v=(vx_, vy_, vz_))
+        )
+
+    # ---------------- one occlusion sweep for all samples ------------
+    segments = [(smp["u"], smp["v"]) for smp in vv_samples]
+    segments += [((hx, hy, hz), smp["v"]) for smp in vs_samples]
+    blocked_all = occluded_multi(segments)
+
+    # ---------------- vol-vol integrand ------------------------------
+    for k, smp in enumerate(vv_samples):
+        ux_p, uy_p, uz_p = smp["u"]
+        vx_, vy_, vz_ = smp["v"]
+        arc_u, arc_v, pdf = smp["arc_u"], smp["arc_v"], smp["pdf"]
+        blocked = blocked_all[k]
+
+        dxuv, dyuv, dzuv = ux_p - vx_, uy_p - vy_, uz_p - vz_
+        d_uv2 = dxuv * dxuv + dyuv * dyuv + dzuv * dzuv
+        d_uv = jnp.sqrt(jnp.maximum(d_uv2, 1e-30))
+        i_uv = 1.0 / d_uv
+        vux, vuy, vuz = dxuv * i_uv, dyuv * i_uv, dzuv * i_uv
+
+        d_eu = jnp.abs(arc_u)
+        d_sv = jnp.abs(arc_v)
+        ok = pair_mask & ~blocked & (d_uv2 > 0.0) & (pdf > 0.0)
+        ph_u = _hg(g, -_dot3(vux, vuy, vuz, dx, dy, dz))
+        ph_v = _hg(g, -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz))
+        geo = jnp.where(
+            ok, ph_u * ph_v / jnp.maximum(pdf * d_uv2, 1e-30), 0.0
+        )
+        # pdfFailure of the vrl segment (balance strategy, 3 channels)
+        if short_vrls:
+            pf = (
+                jnp.exp(-sig_t[0] * d_sv)
+                + jnp.exp(-sig_t[1] * d_sv)
+                + jnp.exp(-sig_t[2] * d_sv)
+            ) * (1.0 / 3.0)
+            pf = msw * pf + (1.0 - msw)
+            geo = geo / jnp.maximum(pf, 1e-30)
+        for ch in range(3):
+            tau = jnp.exp(-sig_t[ch] * (d_eu + d_uv + d_sv))
+            acc[ch] += (
+                pw[ch] * sig_s[ch] * sig_s[ch] * tau * geo
+                * (1.0 / vol_vol_samples)
+            )
+
+    # ---------------- vol-surf integrand -----------------------------
+    for k, smp in enumerate(vs_samples):
+        vx_, vy_, vz_ = smp["v"]
+        arc_v, pdf_v = smp["arc_v"], smp["pdf"]
+        blocked = blocked_all[vol_vol_samples + k]
 
         dxuv, dyuv, dzuv = hx - vx_, hy - vy_, hz - vz_
         d_uv2 = dxuv * dxuv + dyuv * dyuv + dzuv * dzuv
         d_uv = jnp.sqrt(jnp.maximum(d_uv2, 1e-30))
         i_uv = 1.0 / d_uv
         vux, vuy, vuz = dxuv * i_uv, dyuv * i_uv, dzuv * i_uv
-
-        blocked = occluded(hx, hy, hz, vx_, vy_, vz_)
         d_sv = jnp.abs(arc_v)
 
         cos_o = jnp.maximum(
             _dot3(ngx, ngy, ngz, -vux, -vuy, -vuz), 0.0
         )
-        ok = (
-            pair_mask & alb_any & ~blocked & (d_uv2 > 0.0) & (pdf_v > 0.0)
-        )
+        ok = pair_mask & alb_any & ~blocked & (d_uv2 > 0.0) & (pdf_v > 0.0)
         ph_v = _hg(g, -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz))
         geo = jnp.where(
             ok,
