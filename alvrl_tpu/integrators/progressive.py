@@ -42,6 +42,7 @@ class ProgressiveConfig:
     dump_prefix: str = "pass"
     clustered: bool = False
     use_pallas: bool = False
+    checkpoint_path: str | None = None  # .npz accumulator for resume
 
 
 def render_progressive(
@@ -60,11 +61,21 @@ def render_progressive(
         key = jax.random.key(params.seed)
 
     accum = None
+    start_pass = 0
+    # Resume from a checkpoint (the reference approximates this with
+    # periodic partial-image flushes + the -x skip flag,
+    # mitsuba.cpp:78-127; here the accumulator itself is durable)
+    if prog.checkpoint_path and os.path.exists(prog.checkpoint_path):
+        ck = np.load(prog.checkpoint_path)
+        accum = ck["accum"]
+        start_pass = int(ck["next_pass"])
+        log.info("resuming at pass %d from %s", start_pass,
+                 prog.checkpoint_path)
     c_vrls = STATS.counter("VRL integrator", "VRLs traced")
     c_evals = STATS.counter("VRL integrator", "VRL evaluations (render)")
     n_pix = scene.camera.width * scene.camera.height
 
-    for p in range(prog.max_passes):
+    for p in range(start_pass, prog.max_passes):
         k_pass = rng.fold(key, p)
         t0 = time.perf_counter()
         with STATS.timed("pass"):
@@ -98,6 +109,9 @@ def render_progressive(
             "pass %d/%d: %.2fs wall, %d VRLs, mean %.4g",
             p + 1, prog.max_passes, wall, n_valid, float(img.mean()),
         )
+
+        if prog.checkpoint_path:
+            np.savez(prog.checkpoint_path, accum=accum, next_pass=p + 1)
 
         if prog.dump_passes:
             os.makedirs(prog.dump_dir, exist_ok=True)

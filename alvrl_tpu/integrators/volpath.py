@@ -150,16 +150,24 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
 
         # ---------------- surface vertex -----------------------------
         tp_surf_pre = state["throughput"] * ms.w_pass
+        from alvrl_tpu.textures.procedural import albedo_at
+
         mat_id = scene.material[jnp.maximum(hit.prim, 0)]
         kind = scene.materials.kind[mat_id]
-        albedo = scene.materials.albedo[mat_id]
+        albedo = albedo_at(scene, mat_id, hit_p)
         is_diffuse = kind == DIFFUSE
 
         # luminaire sampling at the surface (smooth BSDFs only)
+        from alvrl_tpu.integrators.vrl.integrate import bsdf_eval_smooth
+        from alvrl_tpu.scene.scene import ROUGH_CONDUCTOR, ROUGH_PLASTIC
+
+        is_rough = (kind == ROUGH_CONDUCTOR) | (kind == ROUGH_PLASTIC)
         nee_dir_s, nee_val_s = _nee_point_light(scene, k_nee, hit_p)
-        cos_o = jnp.maximum(m.dot(hit.ng, nee_dir_s), 0.0)
-        bsdf_val = albedo * (cos_o / jnp.pi)[..., None]
-        nee_ok_surf = is_diffuse
+        bsdf_val = bsdf_eval_smooth(
+            scene, mat_id, hit.ng, -state["ray_d"], nee_dir_s,
+            p_world=hit_p,
+        )
+        nee_ok_surf = is_diffuse | is_rough
         if cfg.only_vrl_paths:
             nee_ok_surf = nee_ok_surf & state["first_ok"] & state["second_ok"]
         li_surf = jnp.where(
@@ -175,15 +183,48 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         wo_spec, w_spec, eta_ratio, is_delta = specular_bounce(
             scene, k_spec, mat_id, state["ray_d"], hit.ng_raw
         )
-        wo_bsdf = jnp.where(is_diffuse[..., None], wo_diffuse, wo_spec)
-        w_bsdf = jnp.where(is_diffuse[..., None], albedo, w_spec)
+        # rough lobes: GGX half-vector sampling (radiance transport)
+        from alvrl_tpu.bsdf import microfacet as mf
+
+        alpha_m = scene.materials.alpha[mat_id]
+        s2_f, t2_f = m.build_frame(hit.ng)
+        wi_l = m.frame_to_local(s2_f, t2_f, hit.ng, -state["ray_d"])
+        wo_l, w_rough, _ = mf.sample_rough_conductor(
+            rng.uniform2(k_bsdf), wi_l, alpha_m, albedo
+        )
+        wo_rough = m.frame_to_world(s2_f, t2_f, hit.ng, wo_l)
+        # plastic adds the diffuse base through the same estimator by
+        # mixing: reuse conductor lobe sampling; eval-based weight keeps
+        # it consistent for the conductor case; plastic continuation
+        # falls back to cosine sampling of the full eval.
+        w_plastic = bsdf_eval_smooth(
+            scene, mat_id, hit.ng, -state["ray_d"], wo_diffuse,
+            p_world=hit_p,
+        ) * jnp.pi / jnp.maximum(
+            m.dot(hit.ng, wo_diffuse), 1e-6
+        )[..., None]
+
+        is_rc = kind == ROUGH_CONDUCTOR
+        is_rp = kind == ROUGH_PLASTIC
+        wo_bsdf = jnp.where(
+            is_diffuse[..., None], wo_diffuse,
+            jnp.where(is_rc[..., None], wo_rough,
+                      jnp.where(is_rp[..., None], wo_diffuse, wo_spec)),
+        )
+        w_bsdf = jnp.where(
+            is_diffuse[..., None], albedo,
+            jnp.where(is_rc[..., None], w_rough,
+                      jnp.where(is_rp[..., None], w_plastic, w_spec)),
+        )
         tp_surf_cont = tp_surf_pre * w_bsdf
         surf_continue = (
-            surface_event & (is_diffuse | is_delta) & ~jnp.all(w_bsdf == 0.0)
+            surface_event & (is_diffuse | is_rough | is_delta)
+            & ~jnp.all(w_bsdf == 0.0)
         )
 
         first_ok_surf = state["first_ok"] | (
-            jnp.bool_(cfg.vrl_vol_to_surf) & (depth == 1) & is_diffuse
+            jnp.bool_(cfg.vrl_vol_to_surf) & (depth == 1)
+            & (is_diffuse | is_rough)
         )
 
         # ---------------- merge --------------------------------------
@@ -213,7 +254,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             medium_event, True, jnp.where(surface_event, False, state["prev_volume"])
         )
         prev_diffuse = jnp.where(
-            surface_event, is_diffuse,
+            surface_event, is_diffuse | is_rough,
             jnp.where(medium_event, False, state["prev_diffuse"]),
         )
 

@@ -116,10 +116,14 @@ def prepare_clustering(
     )
 
     # Append the fall-back set as the last row of the tables; map -1 -> S.
+    # Bucket-pad both table dims so repeated passes reuse the compiled
+    # clustered-render kernel (raw shapes vary per pass -> recompiles).
     s, cmax = info.slice_vrls.shape
     cmax2 = max(cmax, len(info.fallback_vrls))
-    tv = np.zeros((s + 1, cmax2), np.int32)
-    tw = np.zeros((s + 1, cmax2), np.float32)
+    cmax2 = int(-(-cmax2 // 32) * 32)
+    rows = int(-(-(s + 1) // 32) * 32)
+    tv = np.zeros((rows, cmax2), np.int32)
+    tw = np.zeros((rows, cmax2), np.float32)
     tv[:s, :cmax] = info.slice_vrls
     tw[:s, :cmax] = info.slice_weights
     tv[s, : len(info.fallback_vrls)] = info.fallback_vrls

@@ -173,15 +173,42 @@ def eval_transmittance_between(scene: Scene, p0, p1):
 # The pairwise estimator.
 # ---------------------------------------------------------------------------
 
-def _diffuse_eval(scene: Scene, mat_id, ng, wo_world):
-    """BSDF eval with cosine foreshortening (bsdf->eval(bRec), the
-    vol-surf factor at U, vrlIntegrator.cpp:758-761). Smooth components
-    only (ESmooth mask): diffuse albedo/pi * cos; delta kinds -> 0."""
+def bsdf_eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
+                     p_world=None):
+    """BSDF eval * cos(theta_o) for the smooth (ESmooth) components —
+    the vol-surf factor at U (bsdf->eval(bRec),
+    vrlIntegrator.cpp:758-761). Delta kinds evaluate to 0.
+
+    wi_world points away from the surface toward the eye; wo_world
+    toward the light/V. Diffuse: albedo/pi * cos. Rough conductor /
+    plastic: GGX microfacet (alvrl_tpu.bsdf.microfacet)."""
+    from alvrl_tpu.bsdf import microfacet as mf
+    from alvrl_tpu.scene.scene import ROUGH_CONDUCTOR, ROUGH_PLASTIC
+
+    from alvrl_tpu.textures.procedural import albedo_at
+
     kind = scene.materials.kind[mat_id]
-    albedo = scene.materials.albedo[mat_id]
+    albedo = (
+        scene.materials.albedo[mat_id] if p_world is None
+        else albedo_at(scene, mat_id, p_world)
+    )
+    alpha = scene.materials.alpha[mat_id]
     cos_o = jnp.maximum(m.dot(ng, wo_world), 0.0)
-    f = albedo * (cos_o / jnp.pi)[..., None]
-    return jnp.where((kind == DIFFUSE)[..., None], f, 0.0)
+    f_diffuse = albedo * (cos_o / jnp.pi)[..., None]
+
+    s_f, t_f = m.build_frame(ng)
+    wi_l = m.frame_to_local(s_f, t_f, ng, wi_world)
+    wo_l = m.frame_to_local(s_f, t_f, ng, wo_world)
+    f_cond = mf.eval_rough_conductor(wi_l, wo_l, alpha, albedo)
+    f_plastic = mf.eval_rough_plastic(wi_l, wo_l, alpha, albedo)
+
+    return jnp.where(
+        (kind == DIFFUSE)[..., None], f_diffuse,
+        jnp.where(
+            (kind == ROUGH_CONDUCTOR)[..., None], f_cond,
+            jnp.where((kind == ROUGH_PLASTIC)[..., None], f_plastic, 0.0),
+        ),
+    )
 
 
 def pair_contribution(
@@ -258,7 +285,9 @@ def pair_contribution(
         if cfg.short_vrls:
             c = c / jnp.maximum(pdf_fail_sv, 1e-30)[..., None]
         c = c * ph.eval_hg(med.g, -sv_dir, vu)[..., None]
-        c = c * _diffuse_eval(scene, hit_mat, hit_ng, -vu)
+        c = c * bsdf_eval_smooth(
+            scene, hit_mat, hit_ng, -ray_d, -vu, p_world=hit_p
+        )
         ok = (d_uv > 0.0) & jnp.all(jnp.isfinite(c), axis=-1)
         return jnp.where(ok[..., None], c, 0.0)
 

@@ -55,7 +55,7 @@ def _sample_emission(scene: Scene, key):
     return em_mod.sample_emission(scene.emitters, key, center, radius)
 
 
-def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi):
+def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi, p):
     """Sample the BSDF at a surface hit in importance-transport mode.
 
     Diffuse: cosine hemisphere around the oriented normal, weight =
@@ -67,8 +67,10 @@ def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi):
     Returns (wo_world, weight(3,), eta_ratio, valid)."""
     from alvrl_tpu.integrators.vrl.specular import specular_bounce
 
+    from alvrl_tpu.textures.procedural import albedo_at
+
     kind = scene.materials.kind[mat_id]
-    albedo = scene.materials.albedo[mat_id]
+    albedo = albedo_at(scene, mat_id, p)
     k_d, k_s = jax.random.split(key)
     local = warp.square_to_cosine_hemisphere(rng.uniform2(k_d))
     s, t = m.build_frame(ng)
@@ -84,11 +86,36 @@ def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi):
                   jnp.ones_like(albedo), w_spec),
         w_spec,
     )
+    from alvrl_tpu.bsdf import microfacet as mf
+    from alvrl_tpu.integrators.vrl.integrate import bsdf_eval_smooth
+    from alvrl_tpu.scene.scene import ROUGH_CONDUCTOR, ROUGH_PLASTIC
+
     is_diffuse = kind == DIFFUSE
-    wo = jnp.where(is_diffuse[..., None], wo_diffuse, wo_spec)
-    weight = jnp.where(is_diffuse[..., None], albedo, w_spec_imp)
-    eta_out = jnp.where(is_diffuse, 1.0, eta_ratio)
-    valid = is_diffuse | is_delta
+    is_rc = kind == ROUGH_CONDUCTOR
+    is_rp = kind == ROUGH_PLASTIC
+    alpha_m = scene.materials.alpha[mat_id]
+    wi_l = m.frame_to_local(s, t, ng, -wi)
+    wo_l, w_rough, _ = mf.sample_rough_conductor(
+        rng.uniform2(k_d), wi_l, alpha_m, albedo
+    )
+    wo_rough = m.frame_to_world(s, t, ng, wo_l)
+    cos_d = jnp.maximum(m.dot(ng, wo_diffuse), 1e-6)
+    w_plastic = bsdf_eval_smooth(
+        scene, mat_id, ng, -wi, wo_diffuse, p_world=p
+    ) * (jnp.pi / cos_d)[..., None]
+
+    wo = jnp.where(
+        is_diffuse[..., None], wo_diffuse,
+        jnp.where(is_rc[..., None], wo_rough,
+                  jnp.where(is_rp[..., None], wo_diffuse, wo_spec)),
+    )
+    weight = jnp.where(
+        is_diffuse[..., None], albedo,
+        jnp.where(is_rc[..., None], w_rough,
+                  jnp.where(is_rp[..., None], w_plastic, w_spec_imp)),
+    )
+    eta_out = jnp.where(is_diffuse | is_rc | is_rp, 1.0, eta_ratio)
+    valid = is_diffuse | is_rc | is_rp | is_delta
     return wo, weight, eta_out, valid
 
 
@@ -174,7 +201,7 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
         factor_surf = ms.w_pass
         mat_id = scene.material[jnp.maximum(hit.prim, 0)]
         wo_bsdf, w_bsdf, eta_ratio, bsdf_valid = _sample_bsdf_importance(
-            scene, k_bsdf, mat_id, hit.ng, hit.ng_raw, state["ray_d"]
+            scene, k_bsdf, mat_id, hit.ng, hit.ng_raw, state["ray_d"], hit.p
         )
         beta_surf = state["beta"] * factor_surf * w_bsdf
         tp_surf = state["tp"] * factor_surf * w_bsdf

@@ -46,17 +46,21 @@ from alvrl_tpu.scene.scene import (
     NULL,
     ORTHOGRAPHIC,
     PERSPECTIVE,
+    ROUGH_CONDUCTOR,
+    ROUGH_PLASTIC,
     SPHERICAL,
     THINLENS,
     Camera,
-    Materials,
     Scene,
     look_at,
+    make_materials,
 )
 
 _MAT_KINDS = {
     "diffuse": DIFFUSE, "null": NULL, "mirror": MIRROR,
     "conductor": MIRROR, "dielectric": DIELECTRIC, "twosided": DIFFUSE,
+    "roughconductor": ROUGH_CONDUCTOR, "roughplastic": ROUGH_PLASTIC,
+    "plastic": ROUGH_PLASTIC, "phong": ROUGH_PLASTIC,
 }
 _CAM_KINDS = {
     "perspective": PERSPECTIVE, "thinlens": THINLENS,
@@ -89,17 +93,14 @@ def build_scene(desc: dict) -> Scene:
     mats = desc.get("materials", [{"name": "default", "type": "diffuse",
                                    "albedo": [0.5, 0.5, 0.5]}])
     name_to_id = {}
-    kinds, albedos, etas = [], [], []
+    kinds, albedos, etas, alphas = [], [], [], []
     for i, mdesc in enumerate(mats):
         name_to_id[mdesc.get("name", f"mat{i}")] = i
         kinds.append(_MAT_KINDS[mdesc["type"]])
         albedos.append(mdesc.get("albedo", [1.0, 1.0, 1.0]))
         etas.append(mdesc.get("eta", 1.0))
-    materials = Materials(
-        kind=jnp.asarray(kinds, jnp.int32),
-        albedo=jnp.asarray(albedos, jnp.float32),
-        eta=jnp.asarray(etas, jnp.float32),
-    )
+        alphas.append(mdesc.get("alpha", 0.1))
+    materials = make_materials(kinds, albedos, etas, alphas)
 
     # shapes
     parts = []

@@ -16,9 +16,9 @@ from alvrl_tpu.media.homogeneous import make_medium
 from alvrl_tpu.scene.scene import (
     DIFFUSE,
     Camera,
-    Materials,
     Scene,
     look_at,
+    make_materials,
     make_point_emitters,
 )
 
@@ -76,18 +76,14 @@ def cornell_smoke(
 
     verts, faces, mat = shapes.merge(parts)
 
-    materials = Materials(
-        kind=jnp.full((4,), DIFFUSE, jnp.int32),
-        albedo=jnp.asarray(
-            [
-                [0.725, 0.71, 0.68],   # white
-                [0.63, 0.065, 0.05],   # red
-                [0.14, 0.45, 0.091],   # green
-                [0.725, 0.71, 0.68],   # blocker
-            ],
-            jnp.float32,
-        ),
-        eta=jnp.ones((4,), jnp.float32),
+    materials = make_materials(
+        [DIFFUSE] * 4,
+        [
+            [0.725, 0.71, 0.68],   # white
+            [0.63, 0.065, 0.05],   # red
+            [0.14, 0.45, 0.091],   # green
+            [0.725, 0.71, 0.68],   # blocker
+        ],
     )
 
     emitters = make_point_emitters([[0.0, 0.75, 0.2]], [list(intensity)])

@@ -25,13 +25,40 @@ DIFFUSE = 0   # smooth Lambertian (diffuse.cpp)
 NULL = 1      # transparent boundary enclosing media (null.cpp)
 MIRROR = 2    # ideal specular conductor (conductor.cpp, delta)
 DIELECTRIC = 3  # smooth dielectric (dielectric.cpp, delta)
+ROUGH_CONDUCTOR = 4  # GGX microfacet conductor (roughconductor.cpp)
+ROUGH_PLASTIC = 5    # GGX coat over Lambertian (roughplastic.cpp)
 
 
 @struct.dataclass
 class Materials:
     kind: jax.Array      # (M,) int32
-    albedo: jax.Array    # (M, 3) diffuse reflectance / specular tint
+    albedo: jax.Array    # (M, 3) diffuse reflectance / specular tint / F0
     eta: jax.Array       # (M,) ior for dielectrics (1.0 otherwise)
+    alpha: jax.Array     # (M,) GGX roughness for rough kinds
+    tex_kind: jax.Array  # (M,) texture kind (textures.procedural.TEX_*)
+    tex_scale: jax.Array # (M,) texture frequency in world units
+    albedo2: jax.Array   # (M, 3) secondary color for textured materials
+
+
+def make_materials(kinds, albedos, etas=None, alphas=None,
+                   tex_kinds=None, tex_scales=None, albedo2=None):
+    kinds = jnp.asarray(kinds, jnp.int32).reshape(-1)
+    n = kinds.shape[0]
+    return Materials(
+        kind=kinds,
+        albedo=jnp.asarray(albedos, jnp.float32).reshape(n, 3),
+        eta=jnp.asarray(
+            etas if etas is not None else [1.0] * n, jnp.float32),
+        alpha=jnp.asarray(
+            alphas if alphas is not None else [0.1] * n, jnp.float32),
+        tex_kind=jnp.asarray(
+            tex_kinds if tex_kinds is not None else [0] * n, jnp.int32),
+        tex_scale=jnp.asarray(
+            tex_scales if tex_scales is not None else [1.0] * n, jnp.float32),
+        albedo2=jnp.asarray(
+            albedo2 if albedo2 is not None else [[0.0] * 3] * n,
+            jnp.float32).reshape(n, 3),
+    )
 
 
 # sensor kinds (src/sensors/)

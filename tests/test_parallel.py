@@ -38,7 +38,7 @@ def test_sharded_render_deterministic():
 def test_sharded_matches_single_device_statistically():
     """Same estimator, different RNG partitioning: means must agree."""
     scene, vrls = _setup()
-    cfg = VRLConfig(vrl_chunk=8, vol_vol_samples=4, vol_surf_samples=4)
+    cfg = VRLConfig(vrl_chunk=8, vol_vol_samples=3, vol_surf_samples=3)
     mesh8 = make_mesh(8)
     mesh1 = make_mesh(1)
     v8 = prender.pad_vrls(vrls, mesh8.shape["vrls"])
@@ -46,13 +46,13 @@ def test_sharded_matches_single_device_statistically():
         np.asarray(
             prender.render_image_sharded(mesh8, scene, v8, jax.random.key(i), cfg)
         )
-        for i in range(3)
+        for i in range(2)
     ]
     imgs1 = [
         np.asarray(
             prender.render_image_sharded(mesh1, scene, vrls, jax.random.key(i), cfg)
         )
-        for i in range(3)
+        for i in range(2)
     ]
     m8 = np.mean(imgs8, axis=0).mean()
     m1 = np.mean(imgs1, axis=0).mean()
@@ -82,7 +82,7 @@ def test_gradient_matches_finite_difference():
     differences of the same function — validates the custom plumbing
     (BASELINE gradient requirement, on the exact MC estimator)."""
     scene, vrls = _setup()
-    mesh = make_mesh(4)
+    mesh = make_mesh(2)
     cfg = VRLConfig(vrl_chunk=8)
     vrls = prender.pad_vrls(vrls, mesh.shape["vrls"])
     key = jax.random.key(7)
