@@ -139,6 +139,7 @@ def render_alvrl(
     cfg: VRLConfig = VRLConfig(),
     tracer_cfg: TracerConfig = TracerConfig(),
     ray_tile: int = 2048,
+    use_pallas: bool = False,
 ):
     """One full clustered progressive pass. Returns (image, vrls, info)."""
     if params is None:
@@ -152,7 +153,16 @@ def render_alvrl(
                    slots_per_particle=tracer_cfg.max_depth)
 
     sop, tv, tw, info = prepare_clustering(scene, vrls, k_r, params, cfg)
-    img = render_clustered(
-        scene, vrls, sop, tv, tw, k_render, cfg, ray_tile=ray_tile
-    )
+    if use_pallas:
+        from alvrl_tpu.integrators.vrl.integrator import (
+            render_clustered_pallas,
+        )
+
+        img = render_clustered_pallas(
+            scene, vrls, sop, tv, tw, k_render, cfg
+        )
+    else:
+        img = render_clustered(
+            scene, vrls, sop, tv, tw, k_render, cfg, ray_tile=ray_tile
+        )
     return img, vrls, info

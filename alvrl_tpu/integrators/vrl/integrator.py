@@ -189,6 +189,107 @@ def render_with_vrls_pallas(scene: Scene, vrls: VRLs, key, cfg: VRLConfig = VRLC
     return film_mod.develop(img, wgt)
 
 
+def render_clustered_pallas(
+    scene: Scene,
+    vrls: VRLs,
+    slice_of_pixel,   # (H*W,) int32 rows into the tables (host or device)
+    table_vrls,       # (S, Cmax) int32, Cmax <= 128
+    table_weights,    # (S, Cmax) f32
+    key,
+    cfg: VRLConfig = VRLConfig(),
+):
+    """Clustered render through the Pallas gather-DMA kernel: pixels are
+    grouped by slice on the host, each 128-ray tile streams its slice's
+    representative table into VMEM (ops.vrl_pallas.vrl_sum_pallas_clustered).
+    Falls back to render_clustered when a slice has > 128 representatives."""
+    import numpy as np
+
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops import vrl_pallas as vp
+
+    cmax = int(table_vrls.shape[1])
+    if cmax > vp.VRL_TILE:
+        return render_clustered(
+            scene, vrls, slice_of_pixel, table_vrls, table_weights, key, cfg
+        )
+
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    sop = np.asarray(slice_of_pixel)
+    n = sop.shape[0]
+
+    # host: group pixel indices by slice, pad each group to the ray tile
+    order = np.argsort(sop, kind="stable")
+    sop_sorted = sop[order]
+    groups = []
+    tile_slices = []
+    start = 0
+    for end in np.flatnonzero(np.diff(sop_sorted)).tolist() + [n - 1]:
+        end = end + 1
+        idx = order[start:end]
+        s_id = int(sop_sorted[start])
+        pad = (-len(idx)) % vp.RAY_TILE
+        idx_p = np.concatenate([idx, np.full(pad, -1, np.int64)])
+        groups.append(idx_p)
+        tile_slices += [s_id] * (len(idx_p) // vp.RAY_TILE)
+        start = end
+    perm = np.concatenate(groups)           # (B_padded,) -1 = dummy
+    tile_slice = jnp.asarray(np.asarray(tile_slices, np.int32))
+
+    # device: rays + hits for real pixels, packed then permuted
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    hit = intersect.intersect_all(ray_o, ray_d, scene.vertices, scene.faces)
+    ray_pack = pk.pack_rays(scene, ray_o, ray_d, hit)[:n]
+    perm_j = jnp.asarray(np.where(perm < 0, 0, perm))
+    dummy = jnp.asarray(perm < 0)
+    ray_pack_p = jnp.where(
+        dummy[:, None], 0.0, ray_pack[perm_j]
+    )
+
+    # per-slice representative tables, weights folded into power
+    tv = jnp.asarray(table_vrls)
+    tw = jnp.asarray(table_weights)
+    s_rows = tv.shape[0]
+    pad_c = vp.VRL_TILE - cmax
+    idx = tv  # (S, Cmax)
+    valid = vrls.valid[idx] & (tw > 0)
+    tables = jnp.zeros((s_rows, vp.VRL_ROWS, vp.VRL_TILE), jnp.float32)
+    def put(rowbase, arr):  # arr (S, Cmax, 3)
+        nonlocal tables
+        a = jnp.pad(arr, ((0, 0), (0, pad_c), (0, 0)))
+        tables = tables.at[:, rowbase:rowbase + 3, :].set(
+            jnp.moveaxis(a, -1, 1)
+        )
+    put(vp._VS, vrls.start[idx])
+    put(vp._VE, vrls.end[idx])
+    put(vp._VP, vrls.power[idx] * tw[..., None])
+    tables = tables.at[:, vp._VVALID, :].set(
+        jnp.pad(valid.astype(jnp.float32), ((0, 0), (0, pad_c)))
+    )
+
+    tri_flat = pk.pack_tris(scene)
+    med_pack = pk.pack_medium(scene)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+    out = vp.vrl_sum_pallas_clustered(
+        ray_pack_p, tables, tile_slice, tri_flat, med_pack, seed,
+        vol_vol_samples=cfg.vol_vol_samples,
+        vol_surf_samples=cfg.vol_surf_samples,
+        short_vrls=cfg.short_vrls,
+    )
+    li_perm = out.T  # (B_padded, 3)
+    # scatter back to pixel order
+    li = jnp.zeros((n, 3), jnp.float32)
+    li = li.at[perm_j].add(jnp.where(dummy[:, None], 0.0, li_perm))
+    li = li / jnp.maximum(vrls.particle_count, 1.0)
+    li = jnp.where(hit.valid[..., None], li, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)
+
+
 # ---------------------------------------------------------------------------
 # Clustered path (Adaptive LightSlice)
 # ---------------------------------------------------------------------------

@@ -111,13 +111,23 @@ N_TAU_STEPS = 32
 
 
 def optical_depth(med: GridMedium, p0, p1, n_steps=N_TAU_STEPS):
-    """Midpoint-rule integral of density along [p0, p1] (scalar)."""
+    """Midpoint-rule integral of density along [p0, p1] (scalar).
+
+    Accumulated with a fori_loop so the (batch x n_steps) sample-point
+    tensor is never materialized — inside the pairwise VRL kernel the
+    broadcast version allocates (rays x vrls x steps) and faults the
+    device at benchmark sizes."""
     delta = p1 - p0
     dist = jnp.linalg.norm(delta, axis=-1)
-    ts = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
-    pts = p0[..., None, :] + ts[:, None] * delta[..., None, :]
-    dens = lookup_density(med, pts)
-    return dens.sum(axis=-1) * dist / n_steps
+
+    def body(i, acc):
+        t = (i.astype(jnp.float32) + 0.5) / n_steps
+        return acc + lookup_density(med, p0 + t * delta)
+
+    total = jax.lax.fori_loop(
+        0, n_steps, body, jnp.zeros(jnp.shape(dist), jnp.float32)
+    )
+    return total * dist / n_steps
 
 
 def eval_transmittance(med: GridMedium, p0, p1):

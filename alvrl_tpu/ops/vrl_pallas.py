@@ -100,7 +100,8 @@ def _kernel(
     tri_ref,      # scalar prefetch: (T*9,) f32 opaque triangles
     seed_ref,     # scalar prefetch: (1,) i32
     ray_ref,      # (RAY_TILE, RAY_ROWS) f32
-    vrl_ref,      # (VRL_ROWS, VRL_TILE) f32
+    vrl_ref,      # (VRL_ROWS, VRL_TILE) f32 (dense) or (1, VRL_ROWS,
+                  # VRL_TILE) slice-table block (clustered)
     med_ref,      # (1, 16) f32: sigma_t(3), sigma_s(3), g, msw, n_samples...
     out_ref,      # (3, RAY_TILE) f32 accumulated over the vrl grid dim
     *,
@@ -108,21 +109,32 @@ def _kernel(
     vol_vol_samples: int,
     vol_surf_samples: int,
     short_vrls: bool,
+    clustered: bool = False,
 ):
     i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
+    if clustered:
+        # one vrl tile per ray tile (the slice's representative set)
+        j = 0
         out_ref[:, :] = jnp.zeros_like(out_ref)
+        pltpu.prng_seed(seed_ref[0], i)
+    else:
+        j = pl.program_id(1)
 
-    pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
+        @pl.when(j == 0)
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
 
     def rrow(k):  # (R, 1)
         return ray_ref[:, k][:, None]
 
-    def vrow(k):  # (1, V)
-        return vrl_ref[k, :][None, :]
+    if clustered:
+        def vrow(k):  # (1, V)
+            return vrl_ref[0, k, :][None, :]
+    else:
+        def vrow(k):  # (1, V)
+            return vrl_ref[k, :][None, :]
 
     ox, oy, oz = rrow(_RO), rrow(_RO + 1), rrow(_RO + 2)
     dx, dy, dz = rrow(_RD), rrow(_RD + 1), rrow(_RD + 2)
@@ -495,3 +507,67 @@ def vrl_sum_pallas(
             dimension_semantics=("parallel", "arbitrary"),
         ),
     )(tri_flat, seed, ray_pack, vrl_pack, med_pack)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("vol_vol_samples", "vol_surf_samples", "short_vrls"),
+)
+def vrl_sum_pallas_clustered(
+    ray_pack,     # (B, RAY_ROWS) f32, B % 128 == 0, rays grouped by slice
+    vrl_tables,   # (S, VRL_ROWS, VRL_TILE) f32 per-slice representative
+                  # tables; representative weights pre-multiplied into
+                  # the power rows (weights enter linearly)
+    tile_slice,   # (B // RAY_TILE,) i32: slice table row per ray tile
+    tri_flat,     # (T*9,) f32
+    med_pack,     # (1, 16) f32
+    seed,         # (1,) i32
+    vol_vol_samples: int = 2,
+    vol_surf_samples: int = 2,
+    short_vrls: bool = True,
+):
+    """Clustered VRL gather: each 128-ray tile integrates against its
+    slice's (<= 128) representative VRLs, DMA'd by the scalar-prefetched
+    tile -> slice map (getClusteredVrlContributions as a gather-DMA
+    Pallas kernel). Returns (3, B) sums (not particle-normalized)."""
+    b = ray_pack.shape[0]
+    n_tris = tri_flat.shape[0] // 9
+    grid = (b // RAY_TILE,)
+
+    def kernel(tri_ref, seed_ref, tslice_ref, ray_ref, vrl_ref, med_ref,
+               out_ref):
+        # tslice_ref is consumed by the index_map only
+        _kernel(
+            tri_ref, seed_ref, ray_ref, vrl_ref, med_ref, out_ref,
+            n_tris=n_tris,
+            vol_vol_samples=vol_vol_samples,
+            vol_surf_samples=vol_surf_samples,
+            short_vrls=short_vrls,
+            clustered=True,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (RAY_TILE, RAY_ROWS), lambda i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, VRL_ROWS, VRL_TILE),
+                    lambda i, tri, seed, tslice: (tslice[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 16), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, RAY_TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, b), jnp.float32),
+    )(tri_flat, seed, tile_slice, ray_pack, vrl_tables, med_pack)

@@ -27,16 +27,16 @@ from alvrl_tpu.io import image as image_io
 
 def main():
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/oracle64.npy"
     W = 64
     scene_mod = __import__("alvrl_tpu.scene.presets", fromlist=["presets"])
     scene = scene_mod.cornell_smoke(width=W, height=W)
     cfg = VRLConfig(vrl_chunk=128)
     tcfg = tracer.TracerConfig(max_depth=12)
 
-    # oracle (not timed)
-    oracle = np.asarray(volpath.render_volpath(
-        scene, jax.random.key(999), spp=1024,
-        cfg=volpath.VolpathConfig(max_depth=12), ray_tile=4096))
+    # oracle precomputed by scripts/make_oracle.py (volpath compiles are
+    # too slow under the remote-compile tunnel to do inline)
+    oracle = np.load(oracle_path)
 
     def run_unclustered():
         acc, n = None, 0

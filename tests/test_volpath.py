@@ -110,3 +110,24 @@ def test_volpath_render_finite():
     )
     assert bool(jnp.isfinite(img).all())
     assert float(img.max()) > 0
+
+
+def test_surface_path_tracer():
+    """path = volpath over a vacuumized scene: energy comes only from
+    surface NEE; must be finite and positive, and direct <= full."""
+    import jax
+
+    from alvrl_tpu.integrators import surface
+    from alvrl_tpu.scene import presets
+
+    scene = presets.cornell_smoke(width=6, height=6)
+    full = surface.render_path(scene, jax.random.key(0), spp=24,
+                               max_depth=6, ray_tile=36)
+    direct = surface.render_direct(scene, jax.random.key(0), spp=24,
+                                   ray_tile=36)
+    f = np.asarray(full)
+    d = np.asarray(direct)
+    assert np.isfinite(f).all() and np.isfinite(d).all()
+    assert f.mean() > 0 and d.mean() > 0
+    # global illumination adds energy over direct-only
+    assert f.mean() >= d.mean() * 0.999
