@@ -140,6 +140,7 @@ def render_alvrl(
     tracer_cfg: TracerConfig = TracerConfig(),
     ray_tile: int = 2048,
     use_pallas: bool = False,
+    host_bands: int = 1,
 ):
     """One full clustered progressive pass. Returns (image, vrls, info)."""
     if params is None:
@@ -163,6 +164,7 @@ def render_alvrl(
         )
     else:
         img = render_clustered(
-            scene, vrls, sop, tv, tw, k_render, cfg, ray_tile=ray_tile
+            scene, vrls, sop, tv, tw, k_render, cfg, ray_tile=ray_tile,
+            host_bands=host_bands,
         )
     return img, vrls, info

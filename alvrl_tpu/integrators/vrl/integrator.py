@@ -345,7 +345,24 @@ def build_R(scene: Scene, ray_o, ray_d, vrls: VRLs, key, cfg: VRLConfig):
     return means, variances
 
 
-@partial(jax.jit, static_argnames=("cfg", "ray_tile"))
+@partial(jax.jit, static_argnames=("cfg", "ray_tile", "band_h"))
+def _render_clustered_rows(
+    scene: Scene, vrls: VRLs, slice_rows, table_vrls, table_weights,
+    key, y_off, band_h: int, cfg: VRLConfig, ray_tile: int,
+):
+    """Clustered li for scanline rows [y_off, y_off+band_h);
+    slice_rows: (band_h * W,) table rows for those pixels."""
+    cam = scene.camera
+    w = cam.width
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(band_h))
+    px = px.reshape(-1)
+    py = py.reshape(-1) + y_off
+    return _clustered_li(
+        scene, vrls, slice_rows, table_vrls, table_weights,
+        rng.fold(key, y_off), px, py, cfg, ray_tile,
+    ).reshape(band_h, w, 3)
+
+
 def render_clustered(
     scene: Scene,
     vrls: VRLs,
@@ -355,15 +372,33 @@ def render_clustered(
     key,
     cfg: VRLConfig = VRLConfig(),
     ray_tile: int = 2048,
+    host_bands: int = 1,
 ):
     """Clustered render: pixel -> slice -> representative VRLs+weights
-    (getClusteredVrlContributions, vrlIntegrator.cpp:542-599)."""
-    cam = scene.camera
-    w, h = cam.width, cam.height
-    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
-    px = px.reshape(-1)
-    py = py.reshape(-1)
-    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    (getClusteredVrlContributions, vrlIntegrator.cpp:542-599).
+    `host_bands` splits the frame into separate device calls (see
+    render_with_vrls)."""
+    w, h = scene.camera.width, scene.camera.height
+    assert h % host_bands == 0
+    band_h = h // host_bands
+    sop = slice_of_pixel.reshape(h, w)
+    rows = [
+        _render_clustered_rows(
+            scene, vrls, sop[b * band_h:(b + 1) * band_h].reshape(-1),
+            table_vrls, table_weights, key, jnp.int32(b * band_h),
+            band_h, cfg, ray_tile,
+        )
+        for b in range(host_bands)
+    ]
+    img = jnp.concatenate(rows, axis=0)
+    return img
+
+
+def _clustered_li(
+    scene: Scene, vrls: VRLs, slice_of_pixel, table_vrls, table_weights,
+    key, px, py, cfg: VRLConfig, ray_tile: int,
+):
+    ray_o, ray_d = perspective.sample_ray(scene.camera, px, py)
     n = px.shape[0]
     cmax = table_vrls.shape[1]
 
@@ -410,9 +445,7 @@ def render_clustered(
             slice_of_pixel.reshape(n_tiles, ray_tile),
         ),
     )
-    li = li.reshape(-1, 3)[:n]
-    img, wgt = film_mod.splat_box(w, h, px, py, li)
-    return film_mod.develop(img, wgt)
+    return li.reshape(-1, 3)[:n]
 
 
 @partial(jax.jit, static_argnames=("cfg", "tracer_cfg", "num_particles", "ray_tile"))
@@ -434,15 +467,15 @@ def render_unclustered(
     return img, vrls
 
 
-@partial(jax.jit, static_argnames=("cfg", "ray_tile"))
-def render_with_vrls(
-    scene: Scene, vrls: VRLs, key, cfg: VRLConfig = VRLConfig(), ray_tile: int = 2048
-):
+@partial(jax.jit, static_argnames=("cfg", "ray_tile", "band_h"))
+def _render_rows(scene: Scene, vrls: VRLs, key, y_off, band_h: int,
+                 cfg: VRLConfig, ray_tile: int):
+    """Unclustered li for scanline rows [y_off, y_off + band_h)."""
     cam = scene.camera
-    w, h = cam.width, cam.height
-    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    w = cam.width
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(band_h))
     px = px.reshape(-1)
-    py = py.reshape(-1)
+    py = py.reshape(-1) + y_off
     ray_o, ray_d = perspective.sample_ray(cam, px, py)
 
     n = px.shape[0]
@@ -454,7 +487,8 @@ def render_with_vrls(
 
     def tile_fn(args):
         i, o_t, d_t = args
-        return li_unclustered(scene, o_t, d_t, vrls, rng.fold(key, i, rng.P_PIXEL), cfg)
+        k = rng.fold(key, i, rng.P_PIXEL)
+        return li_unclustered(scene, o_t, d_t, vrls, rng.fold(k, y_off), cfg)
 
     li = jax.lax.map(
         tile_fn,
@@ -464,6 +498,24 @@ def render_with_vrls(
             ray_d.reshape(n_tiles, ray_tile, 3),
         ),
     )
-    li = li.reshape(-1, 3)[:n]
-    img, wgt = film_mod.splat_box(w, h, px, py, li)
-    return film_mod.develop(img, wgt)
+    return li.reshape(-1, 3)[:n].reshape(band_h, w, 3)
+
+
+def render_with_vrls(
+    scene: Scene, vrls: VRLs, key, cfg: VRLConfig = VRLConfig(),
+    ray_tile: int = 2048, host_bands: int = 1,
+):
+    """Full-frame unclustered render. `host_bands` > 1 splits the frame
+    into scanline bands issued as separate device calls — required for
+    very large frame x VRL workloads where a single execution would
+    exceed the runtime's per-call limits (one compile: the row offset is
+    a dynamic scalar)."""
+    h = scene.camera.height
+    assert h % host_bands == 0, (h, host_bands)
+    band_h = h // host_bands
+    rows = [
+        _render_rows(scene, vrls, key, jnp.int32(b * band_h), band_h,
+                     cfg, ray_tile)
+        for b in range(host_bands)
+    ]
+    return jnp.concatenate(rows, axis=0)

@@ -115,7 +115,7 @@ def config4():
     img, vrls, info = alvrl.render_alvrl(
         scene, jax.random.key(0), params,
         cfg=VRLConfig(vrl_chunk=128), tracer_cfg=TracerConfig(max_depth=10),
-        ray_tile=4096,
+        ray_tile=1024, host_bands=32,
     )
     jax.block_until_ready(img)
     total = time.time() - t0
