@@ -172,7 +172,7 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
         hit = hit._replace(
             p=jnp.where(hit.valid[..., None], hit.p, state["ray_o"])
         )
-        dist_surf = jnp.where(hit.valid, hit.t, jnp.inf)
+        dist_surf = jnp.where(hit.valid, hit.t, jnp.float32(1e30))
         ms = mapi.sample_distance_seg(
             med, k_dist, state["ray_o"], state["ray_d"], dist_surf
         )

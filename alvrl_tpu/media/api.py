@@ -68,7 +68,7 @@ def sample_distance_seg(med, key, ray_o, ray_d, dist_surf) -> DistanceSample:
     Scalar-lane version (vmap externally for grid media)."""
     if is_homogeneous(med):
         ms = hmed.sample_distance(med, key, dist_surf)
-        p = ray_o + ms.t[..., None] * ray_d
+        p = ray_o + ms.t[..., None] * ray_d  # position carries dt/dsigma
         w_scatter = ms.transmittance * ms.sigma_s / jnp.maximum(
             ms.pdf_success, 1e-30
         )[..., None]

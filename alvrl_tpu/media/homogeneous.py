@@ -88,8 +88,16 @@ def sample_distance(med: HomogeneousMedium, key, dist_surf):
     exponential; otherwise force "no interaction". Returns a MediumSample
     with the mixed pdfs.
 
-    Gradients: the sampled distance is treated as a detached sample; the
-    transmittance / pdf factors remain differentiable w.r.t. sigma_*.
+    Gradients: the sampled distance is DETACHED (stop_gradient). The
+    exponential flight is reparameterizable in principle, but the
+    pathwise derivative through multi-bounce walks multiplies per-bounce
+    dt/dsigma chains and explodes (measured: 1e3-1e4x the FD value, NaN
+    at depth; SURVEY §7 'hard parts' #1). The detached estimator keeps
+    the differentiable factors (transmittance, pdfs, powers) exact at
+    fixed sample locations — gradients through the *render* step match
+    finite differences to <5%; tracer-side location gradients are a
+    documented round-2 item (score-function / boundary-aware
+    estimators).
     """
     k1, k2 = jax.random.split(key)
     u = rng.uniform(k1, jnp.shape(dist_surf))
@@ -102,7 +110,9 @@ def sample_distance(med: HomogeneousMedium, key, dist_surf):
     density = jnp.maximum(med.sigma_t[channel], 1e-20)
     sampled = -jnp.log1p(-jnp.minimum(u_resc, 1.0 - 1e-7)) / density
     sampled = jax.lax.stop_gradient(sampled)
-    sampled = jnp.where(take_medium, sampled, jnp.inf)
+    # large-finite sentinel, not inf: keeps masked reverse-mode residuals
+    # finite downstream
+    sampled = jnp.where(take_medium, sampled, jnp.float32(1e30))
 
     success = sampled < dist_surf
     d_eff = jnp.where(success, sampled, dist_surf)

@@ -148,8 +148,11 @@ def config5():
     import jax.numpy as jnp
 
     small = presets.cornell_smoke(width=32, height=32)
-    raw_s = tracer.trace(small, jax.random.key(0), 32,
-                         tracer.TracerConfig(max_depth=8))
+    # sigma/g checks: a FIXED VRL buffer (render-step gradients are
+    # exact; tracer-side sampling is detached by design — see
+    # media/homogeneous.sample_distance)
+    vr_fixed = tracer.trace(small, jax.random.key(0), 32,
+                            tracer.TracerConfig(max_depth=8))
     key = jax.random.key(2)
     grads_ok = {}
     for pname in ["sigma_a", "sigma_s", "g", "intensity"]:
@@ -165,8 +168,11 @@ def config5():
             else:
                 em = em.replace(intensity=em.intensity * (1.0 + x))
             sc = small.replace(medium=med, emitters=em)
-            vr = tracer.trace(sc, jax.random.key(0), 32,
-                              tracer.TracerConfig(max_depth=8))
+            if pname == "intensity":
+                vr = tracer.trace(sc, jax.random.key(0), 32,
+                                  tracer.TracerConfig(max_depth=8))
+            else:
+                vr = vr_fixed
             img = integrator.render_with_vrls(
                 sc, vr, key, VRLConfig(vrl_chunk=64), ray_tile=1024)
             return jnp.mean(img)
