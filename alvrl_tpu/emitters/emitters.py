@@ -28,21 +28,25 @@ from alvrl_tpu.core import rng, spectrum, warp
 POINT = 0
 SPOT = 1
 DIRECTIONAL = 2
+AREA = 3       # one triangle per entry (quad lights = 2 entries)
 
 
 @struct.dataclass
 class Emitters:
     kind: jax.Array        # (E,) int32
-    position: jax.Array    # (E, 3)
+    position: jax.Array    # (E, 3); AREA: triangle vertex p0
     direction: jax.Array   # (E, 3) unit (spot/directional)
-    intensity: jax.Array   # (E, 3) radiant intensity / irradiance
+    intensity: jax.Array   # (E, 3) radiant intensity / irradiance /
+                           # AREA: emitted radiance
     cos_cutoff: jax.Array  # (E,) spot cutoff cosine
     cos_beam: jax.Array    # (E,) spot full-strength beam cosine
+    tri_e1: jax.Array      # (E, 3) AREA: triangle edge p1 - p0
+    tri_e2: jax.Array      # (E, 3) AREA: triangle edge p2 - p0
     pmf: jax.Array         # (E,) selection pmf
 
 
 def make_emitters(kinds, positions, intensities, directions=None,
-                  cutoff_deg=None, beam_deg=None):
+                  cutoff_deg=None, beam_deg=None, tri_e1=None, tri_e2=None):
     kinds = jnp.asarray(kinds, jnp.int32).reshape(-1)
     e = kinds.shape[0]
     positions = jnp.asarray(positions, jnp.float32).reshape(e, 3)
@@ -58,11 +62,20 @@ def make_emitters(kinds, positions, intensities, directions=None,
         jnp.asarray(beam_deg if beam_deg is not None else
                     [15.0] * e, jnp.float32)
     ))
+    e1 = (jnp.asarray(tri_e1, jnp.float32).reshape(e, 3)
+          if tri_e1 is not None else jnp.zeros((e, 3)))
+    e2 = (jnp.asarray(tri_e2, jnp.float32).reshape(e, 3)
+          if tri_e2 is not None else jnp.zeros((e, 3)))
+    # power-weighted selection pmf: area emitters weigh by L*pi*A
+    area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
     lum = spectrum.luminance(intensities)
+    lum = jnp.where(kinds == AREA, lum * jnp.pi * jnp.maximum(area, 1e-12),
+                    lum)
     pmf = lum / jnp.maximum(jnp.sum(lum), 1e-30)
     return Emitters(
         kind=kinds, position=positions, direction=directions,
-        intensity=intensities, cos_cutoff=cutoff, cos_beam=beam, pmf=pmf,
+        intensity=intensities, cos_cutoff=cutoff, cos_beam=beam,
+        tri_e1=e1, tri_e2=e2, pmf=pmf,
     )
 
 
@@ -114,16 +127,38 @@ def sample_emission(em: Emitters, key, scene_center, scene_radius):
     area = jnp.pi * scene_radius * scene_radius
     w_dir = inten * area
 
+    # area: uniform point on the triangle + cosine direction about the
+    # face normal (area.cpp semantics): weight = L * pi * A
+    ua, ub = rng.uniform(k_pos), rng.uniform(k_dir)
+    su = jnp.sqrt(jnp.clip(ua, 1e-9, 1.0))
+    b0 = 1.0 - su
+    b1 = ub * su
+    tri_p = (
+        em.position[idx] + b0 * em.tri_e1[idx] + b1 * em.tri_e2[idx]
+    )
+    n_face = m.normalize(jnp.cross(em.tri_e1[idx], em.tri_e2[idx]))
+    local = warp.square_to_cosine_hemisphere(rng.uniform2(k_dir))
+    s_a, t_a = m.build_frame(n_face)
+    d_area = m.frame_to_world(s_a, t_a, n_face, local)
+    area = 0.5 * jnp.linalg.norm(
+        jnp.cross(em.tri_e1[idx], em.tri_e2[idx])
+    )
+    w_area = inten * (jnp.pi * area)
+
+    is_area = kind == AREA
     pos = jnp.where(
-        (kind == DIRECTIONAL)[..., None], disk, em.position[idx]
+        (kind == DIRECTIONAL)[..., None], disk,
+        jnp.where(is_area[..., None], tri_p, em.position[idx]),
     )
     d = jnp.where(
         (kind == POINT)[..., None], d_sphere,
-        jnp.where((kind == SPOT)[..., None], d_cone, axis_d),
+        jnp.where((kind == SPOT)[..., None], d_cone,
+                  jnp.where(is_area[..., None], d_area, axis_d)),
     )
     weight = jnp.where(
         (kind == POINT)[..., None], w_point,
-        jnp.where((kind == SPOT)[..., None], w_spot, w_dir),
+        jnp.where((kind == SPOT)[..., None], w_spot,
+                  jnp.where(is_area[..., None], w_area, w_dir)),
     )
     return pos, d, weight
 
@@ -131,7 +166,8 @@ def sample_emission(em: Emitters, key, scene_center, scene_radius):
 def nee(em: Emitters, key, p, scene_radius):
     """Direct sampling toward the emitters from point p.
     Returns (direction (3,), unattenuated value (3,), distance)."""
-    idx = jax.random.choice(key, em.pmf.shape[0], p=em.pmf)
+    k_sel, k_uv = jax.random.split(key)
+    idx = jax.random.choice(k_sel, em.pmf.shape[0], p=em.pmf)
     kind = em.kind[idx]
     inten = em.intensity[idx] / em.pmf[idx]
 
@@ -147,11 +183,34 @@ def nee(em: Emitters, key, p, scene_radius):
     dist_dir = 2.0 * scene_radius
     v_dir = inten
 
+    # area: uniform point on the triangle, pdf 1/A in area measure;
+    # value = L * cos(face) * A / r^2 (solid-angle conversion)
+    uv = rng.uniform2(k_uv)
+    su = jnp.sqrt(jnp.clip(uv[..., 0], 1e-9, 1.0))
+    b0 = 1.0 - su
+    b1 = uv[..., 1] * su
+    tri_p = em.position[idx] + b0 * em.tri_e1[idx] + b1 * em.tri_e2[idx]
+    n_face = m.normalize(jnp.cross(em.tri_e1[idx], em.tri_e2[idx]))
+    area = 0.5 * jnp.linalg.norm(jnp.cross(em.tri_e1[idx], em.tri_e2[idx]))
+    d_a = tri_p - p
+    r2_a = jnp.maximum(m.length_sq(d_a), 1e-12)
+    dist_a = jnp.sqrt(r2_a)
+    dir_a = d_a / dist_a[..., None]
+    cos_face = jnp.maximum(m.dot(n_face, -dir_a), 0.0)
+    v_area = inten * (cos_face * area / r2_a)[..., None]
+
     is_dir = kind == DIRECTIONAL
-    out_d = jnp.where(is_dir[..., None], d_dir, dirn)
+    is_area = kind == AREA
+    out_d = jnp.where(
+        is_dir[..., None], d_dir,
+        jnp.where(is_area[..., None], dir_a, dirn),
+    )
     out_v = jnp.where(
         (kind == POINT)[..., None], v_point,
-        jnp.where((kind == SPOT)[..., None], v_spot, v_dir),
+        jnp.where((kind == SPOT)[..., None], v_spot,
+                  jnp.where(is_area[..., None], v_area, v_dir)),
     )
-    out_dist = jnp.where(is_dir, dist_dir, dist)
+    out_dist = jnp.where(
+        is_dir, dist_dir, jnp.where(is_area, dist_a, dist)
+    )
     return out_d, out_v, out_dist

@@ -100,7 +100,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         # Sanitize the miss case: hit.p would be o + inf*d (inf/NaN) and
         # poison masked arithmetic downstream.
         hit_p = jnp.where(hit.valid[..., None], hit.p, state["ray_o"])
-        dist_surf = jnp.where(hit.valid, hit.t, jnp.inf)
+        dist_surf = jnp.where(hit.valid, hit.t, jnp.float32(1e30))
         ms = mapi.sample_distance_seg(
             med, k_dist, state["ray_o"], state["ray_d"], dist_surf
         )
@@ -156,6 +156,21 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         kind = scene.materials.kind[mat_id]
         albedo = albedo_at(scene, mat_id, hit_p)
         is_diffuse = kind == DIFFUSE
+
+        # emitted radiance on a direct hit of an area emitter: counted
+        # only at depth 1 (after any scattering the query drops emission,
+        # ERadianceNoEmission — volpath.cpp:262-263,293-296); under
+        # onlyVRLpaths it is additionally gated by first&&second OK
+        # (volpath.cpp:152-156), which can never hold at depth 1.
+        emit_id = scene.face_emitter[jnp.maximum(hit.prim, 0)]
+        front = m.dot(hit.ng_raw, -state["ray_d"]) > 0
+        le_gate = surface_event & (emit_id >= 0) & front & (depth == 1)
+        if cfg.only_vrl_paths:
+            le_gate = le_gate & state["first_ok"] & state["second_ok"]
+        le_val = scene.emitters.intensity[jnp.maximum(emit_id, 0)]
+        li_emit = jnp.where(
+            le_gate[..., None], tp_surf_pre * le_val, 0.0
+        )
 
         # luminaire sampling at the surface (smooth BSDFs only)
         from alvrl_tpu.integrators.vrl.integrate import bsdf_eval_smooth
@@ -228,7 +243,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         )
 
         # ---------------- merge --------------------------------------
-        li = state["li"] + li_med + li_surf
+        li = state["li"] + li_med + li_surf + li_emit
         new_o = jnp.where(medium_event[..., None], p_med, hit_p)
         new_d = jnp.where(medium_event[..., None], wo_phase, wo_bsdf)
         new_tp = jnp.where(

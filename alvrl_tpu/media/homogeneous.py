@@ -110,9 +110,10 @@ def sample_distance(med: HomogeneousMedium, key, dist_surf):
     density = jnp.maximum(med.sigma_t[channel], 1e-20)
     sampled = -jnp.log1p(-jnp.minimum(u_resc, 1.0 - 1e-7)) / density
     sampled = jax.lax.stop_gradient(sampled)
-    # large-finite sentinel, not inf: keeps masked reverse-mode residuals
-    # finite downstream
-    sampled = jnp.where(take_medium, sampled, jnp.float32(1e30))
+    # Large-finite sentinel, not inf (finite reverse-mode residuals).
+    # MUST exceed every surface-miss sentinel (1e30 in the integrators)
+    # so the no-interaction branch never reads as a medium event.
+    sampled = jnp.where(take_medium, sampled, jnp.float32(3e30))
 
     success = sampled < dist_surf
     d_eff = jnp.where(success, sampled, dist_surf)

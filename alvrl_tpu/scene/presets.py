@@ -143,3 +143,61 @@ def cornell_grid_smoke(width=512, height=512, grid_res=48):
         g=0.3,
     )
     return base.replace(medium=medium)
+
+
+def cornell_area_light(width=64, height=64, radiance=(6.0, 6.0, 6.0),
+                       half=0.25, **kwargs):
+    """Cornell smoke with a ceiling quad area light (area.cpp analog):
+    the emitter quad is real geometry (eye rays see it) and two AREA
+    entries in the emitter table."""
+    import numpy as _np
+
+    from alvrl_tpu.emitters.emitters import AREA, make_emitters
+
+    base = cornell_smoke(width=width, height=height, **kwargs)
+    y = 0.999
+    p0 = _np.array([-half, y, -half], _np.float32)
+    e1 = _np.array([2 * half, 0, 0], _np.float32)
+    e2 = _np.array([0, 0, 2 * half], _np.float32)
+    # quad -> two triangles, both wound so the face normal
+    # cross(edge1, edge2) points DOWN (-y, into the box)
+    quad_v = _np.stack([p0, p0 + e1, p0 + e2, p0 + e1 + e2])
+    quad_f = _np.array([[0, 1, 2], [3, 2, 1]], _np.int32)
+
+    n_v = base.vertices.shape[0]
+    verts = jnp.concatenate([base.vertices, jnp.asarray(quad_v)], axis=0)
+    faces = jnp.concatenate(
+        [base.faces, jnp.asarray(quad_f) + n_v], axis=0
+    )
+    # emitter quad surface: black diffuse (material 0 with zero albedo
+    # would dim walls; append a dedicated material)
+    mats = base.materials
+    mats = mats.replace(
+        kind=jnp.concatenate([mats.kind, jnp.asarray([DIFFUSE])]),
+        albedo=jnp.concatenate([mats.albedo, jnp.zeros((1, 3))]),
+        eta=jnp.concatenate([mats.eta, jnp.ones((1,))]),
+        alpha=jnp.concatenate([mats.alpha, jnp.asarray([0.1])]),
+        tex_kind=jnp.concatenate([mats.tex_kind, jnp.asarray([0], jnp.int32)]),
+        tex_scale=jnp.concatenate([mats.tex_scale, jnp.ones((1,))]),
+        albedo2=jnp.concatenate([mats.albedo2, jnp.zeros((1, 3))]),
+    )
+    mat_ids = jnp.concatenate(
+        [base.material,
+         jnp.full((2,), mats.kind.shape[0] - 1, jnp.int32)]
+    )
+    # emitter-entry edges match the geometry winding: cross(e1, e2) = -y
+    emitters = make_emitters(
+        [AREA, AREA],
+        [p0, p0 + e1 + e2],
+        [list(radiance)] * 2,
+        tri_e1=[e1, -e1],
+        tri_e2=[e2, -e2],
+    )
+    face_emitter = jnp.concatenate([
+        jnp.full((base.faces.shape[0],), -1, jnp.int32),
+        jnp.asarray([0, 1], jnp.int32),
+    ])
+    return base.replace(
+        vertices=verts, faces=faces, material=mat_ids, materials=mats,
+        emitters=emitters, face_emitter=face_emitter,
+    )

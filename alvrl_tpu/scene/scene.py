@@ -98,6 +98,14 @@ class Scene:
     emitters: Emitters
     medium: HomogeneousMedium  # global medium filling the scene
     camera: Camera
+    face_emitter: jax.Array = None  # (T,) i32: area-emitter id or -1
+
+    def __post_init__(self):
+        if self.face_emitter is None:
+            object.__setattr__(
+                self, "face_emitter",
+                jnp.full((self.faces.shape[0],), -1, jnp.int32),
+            )
 
     @property
     def num_tris(self) -> int:

@@ -217,3 +217,39 @@ def test_stats_counters():
     assert "test counter: 12" in table
     assert "phase_x" in table
     STATS.reset()
+
+
+def test_area_emitter_power():
+    """Sampled emission weight integrates to L * pi * A (area.cpp)."""
+    from alvrl_tpu.scene import presets
+
+    scene = presets.cornell_area_light(width=4, height=4)
+    n = 8000
+    keys = jax.random.split(jax.random.key(3), n)
+    c = jnp.zeros(3)
+    _, d, w = jax.vmap(
+        lambda k: em_mod.sample_emission(scene.emitters, k, c, jnp.float32(1.7))
+    )(keys)
+    mc = float(jnp.mean(w[:, 0]))
+    expected = 6.0 * np.pi * 0.25  # L pi A, quad (0.5)^2
+    assert abs(mc - expected) / expected < 0.05
+    # all emitted directions point downward (into the box)
+    assert float(d[:, 1].max()) <= 1e-5
+
+
+def test_area_emitter_nee_cosine():
+    """NEE value accounts for the face cosine: a point directly under
+    the light sees more than a point off to the side at equal r."""
+    from alvrl_tpu.scene import presets
+
+    scene = presets.cornell_area_light(width=4, height=4)
+    keys = jax.random.split(jax.random.key(4), 4000)
+    below = jnp.array([0.0, 0.0, 0.0])
+    _, v_below, _ = jax.vmap(
+        lambda k: em_mod.nee(scene.emitters, k, below, jnp.float32(1.7))
+    )(keys)
+    side = jnp.array([0.95, 0.95, 0.0])
+    _, v_side, _ = jax.vmap(
+        lambda k: em_mod.nee(scene.emitters, k, side, jnp.float32(1.7))
+    )(keys)
+    assert float(v_below.mean()) > float(v_side.mean())
