@@ -62,6 +62,12 @@ def render_progressive(
 
     accum = None
     start_pass = 0
+    slice_info = None
+    if prog.clustered:
+        from alvrl_tpu.integrators.vrl.alvrl import build_slice_info
+
+        with STATS.timed("slicing"):
+            slice_info = build_slice_info(scene, params)
     # Resume from a checkpoint (the reference approximates this with
     # periodic partial-image flushes + the -x skip flag,
     # mitsuba.cpp:78-127; here the accumulator itself is durable)
@@ -81,7 +87,8 @@ def render_progressive(
         with STATS.timed("pass"):
             if prog.clustered:
                 img, vrls, _ = alvrl_mod.render_alvrl(
-                    scene, k_pass, params, cfg, tracer_cfg
+                    scene, k_pass, params, cfg, tracer_cfg,
+                    slice_info=slice_info,
                 )
                 n_reps = None  # per-pixel rep count varies; count below
             else:

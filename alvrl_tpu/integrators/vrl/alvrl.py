@@ -62,32 +62,61 @@ def gather_points(scene: Scene):
     return hit.p, hit.ng, hit.valid, diag
 
 
-def prepare_clustering(
-    scene: Scene,
-    vrls: VRLs,
-    key,
-    params: ALVRLParams,
-    cfg: VRLConfig,
-):
-    """Host+device prepass: slices, representative pixels, R, clusters.
-    Returns (slice_of_pixel (H*W,) int32 row ids, table_vrls, table_weights)
-    as device arrays (fallback appended as the last table row)."""
-    p = params.cluster
-    cam = scene.camera
-    w, h = cam.width, cam.height
+class SliceInfo:
+    """Per-scene slicing state, reusable across progressive passes
+    (the reference builds slices once in Integrator::preprocess,
+    vrlIntegrator.cpp:237-267, and reuses them every prepass)."""
 
+    def __init__(self, slices, repr_rows, slice_u, global_pu, localities):
+        self.slices = slices
+        self.repr_rows = repr_rows
+        self.slice_u = slice_u
+        self.global_pu = global_pu
+        self.localities = localities
+
+
+def build_slice_info(scene: Scene, params: ALVRLParams) -> SliceInfo:
+    """Gather pass + 6D slicing + representative pixels + localities —
+    VRL-independent, compute once per scene/camera."""
+    p = params.cluster
     pos, ng, valid, diag = gather_points(scene)
     dir_scale = float(diag) / 8.0 * p.slice_curvature_factor
     slices = cl.build_slices(
         np.asarray(pos), np.asarray(ng) * dir_scale, np.asarray(valid),
         p.target_num_slices,
     )
-
     host_rng = np.random.default_rng(params.seed + 7)
     repr_rows, slice_u, global_pu = cl.sample_representative_pixels(
         slices, p.target_pixel_undersampling, host_rng
     )
     localities = cl.build_localities(slices, p.neighbour_count)
+    return SliceInfo(slices, repr_rows, slice_u, global_pu, localities)
+
+
+def prepare_clustering(
+    scene: Scene,
+    vrls: VRLs,
+    key,
+    params: ALVRLParams,
+    cfg: VRLConfig,
+    slice_info: SliceInfo = None,
+):
+    """Host+device prepass: slices, representative pixels, R, clusters.
+    Returns (slice_of_pixel (H*W,) int32 row ids, table_vrls, table_weights)
+    as device arrays (fallback appended as the last table row).
+    Pass a cached `slice_info` to skip the per-pass slicing."""
+    p = params.cluster
+    cam = scene.camera
+    w, h = cam.width, cam.height
+
+    if slice_info is None:
+        slice_info = build_slice_info(scene, params)
+    slices = slice_info.slices
+    repr_rows = slice_info.repr_rows
+    slice_u = slice_info.slice_u
+    global_pu = slice_info.global_pu
+    localities = slice_info.localities
+    host_rng = np.random.default_rng(params.seed + 13)
 
     # R over all representative pixels at once (device)
     all_rows = np.concatenate(repr_rows) if repr_rows else np.zeros((0,), np.int64)
@@ -141,6 +170,7 @@ def render_alvrl(
     ray_tile: int = 2048,
     use_pallas: bool = False,
     host_bands: int = 1,
+    slice_info: "SliceInfo" = None,
 ):
     """One full clustered progressive pass. Returns (image, vrls, info)."""
     if params is None:
@@ -153,7 +183,9 @@ def render_alvrl(
     vrls = compact(raw, params.vrl_target_num,
                    slots_per_particle=tracer_cfg.max_depth)
 
-    sop, tv, tw, info = prepare_clustering(scene, vrls, k_r, params, cfg)
+    sop, tv, tw, info = prepare_clustering(
+        scene, vrls, k_r, params, cfg, slice_info=slice_info
+    )
     if use_pallas:
         from alvrl_tpu.integrators.vrl.integrator import (
             render_clustered_pallas,

@@ -44,15 +44,27 @@ def main():
     cfg = VRLConfig(vol_vol_samples=2, vol_surf_samples=2, vrl_chunk=128)
 
     scene = presets.cornell_smoke(width=width, height=height)
-    key = jax.random.key(0)
 
-    # Trace to a compacted VRL buffer of fixed capacity (vrlTargetNum=512)
+    # VRL set: pre-traced and checked in (the reference's vrlFile
+    # decoupling, vrlIntegrator.cpp:243-252) so the benchmark measures
+    # the render kernel without paying the tracer's compile on a cold
+    # cache. Regenerate with: python -c "see data/README".
+    import os
     t0 = time.time()
-    raw = tracer.trace(scene, key, 128, tracer.TracerConfig(max_depth=12))
-    raw.valid.block_until_ready()
-    vrls = vrl_mod.compact(raw, n_vrls, slots_per_particle=12)
-    print(f"traced {int(raw.valid.sum())} VRLs in {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    vrl_path = os.path.join(os.path.dirname(__file__), "data",
+                            "bench_vrls.txt")
+    if os.path.exists(vrl_path):
+        vrls = vrl_mod.load_ascii(vrl_path, particle_count=78.0)
+        vrls = vrl_mod.compact(vrls, n_vrls)
+        print(f"loaded {int(vrls.valid.sum())} VRLs", file=sys.stderr)
+    else:
+        key = jax.random.key(0)
+        raw = tracer.trace(scene, key, 128,
+                           tracer.TracerConfig(max_depth=12))
+        raw.valid.block_until_ready()
+        vrls = vrl_mod.compact(raw, n_vrls, slots_per_particle=12)
+        print(f"traced {int(raw.valid.sum())} VRLs in {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
     render = lambda k: render_with_vrls_pallas(scene, vrls, k, cfg)
 
