@@ -227,6 +227,8 @@ def pair_contribution(
     u_vs,  # (..., S_vs) uniforms for the vol-surf samples
     cfg: VRLConfig,
     weight=None,
+    eye_od=None,  # grid media: (..., n+1) cumulative OD along E->hit
+    vrl_od=None,  # grid media: (..., n+1) cumulative OD along S->E'
 ):
     """Estimate the double integral for one (eye ray, VRL) pair.
 
@@ -242,6 +244,29 @@ def pair_contribution(
 
     e_pt = ray_o
     sv_dir = m.normalize(vrl_e - vrl_s)
+    # Grid media: precomputed cumulative-OD tables turn the per-sample
+    # tau(E->U) and tau(S->V)/pdfFailure quadratures into interpolations
+    # (the U<->V segment still integrates fresh each sample).
+    use_tables = (
+        eye_od is not None and vrl_od is not None
+        and not mapi.is_homogeneous(med)
+    )
+    if use_tables:
+        from alvrl_tpu.media import heterogeneous as gmed
+
+        elen = jnp.maximum(m.distance(e_pt, hit_p), 1e-20)
+        vlen = jnp.maximum(m.distance(vrl_s, vrl_e), 1e-20)
+        chan = jnp.mean(med.sigma_t_color)
+
+        def tau_eye_at(u_pt):
+            od = gmed.interp_od(eye_od, m.distance(e_pt, u_pt) / elen)
+            return jnp.exp(-med.sigma_t_color * od[..., None])
+
+        def eval_sv_at(v):
+            od = gmed.interp_od(vrl_od, m.distance(vrl_s, v) / vlen)
+            tau = jnp.exp(-med.sigma_t_color * od[..., None])
+            pdf_fail = jnp.exp(-chan * od)
+            return tau, pdf_fail
     # Fold the path weight (specular-chain throughput) into the VRL power:
     # it multiplies every sample, including the tracked luminance
     # (reference: `contribution = weight; contribution *= power; ...`).
@@ -256,8 +281,12 @@ def pair_contribution(
         vu = m.normalize(u_pt - v)
 
         tau_uv = eval_transmittance_between(scene, u_pt, v)
-        tau_eu = mapi.transmittance(med, e_pt, u_pt)
-        tau_sv, _, pdf_fail_sv = mapi.eval_ray_seg(med, vrl_s, v)
+        if use_tables:
+            tau_eu = tau_eye_at(u_pt)
+            tau_sv, pdf_fail_sv = eval_sv_at(v)
+        else:
+            tau_eu = mapi.transmittance(med, e_pt, u_pt)
+            tau_sv, _, pdf_fail_sv = mapi.eval_ray_seg(med, vrl_s, v)
 
         c = vrl_power
         c = c * mapi.sigma_s_at(med, v) * mapi.sigma_s_at(med, u_pt)
@@ -276,7 +305,10 @@ def pair_contribution(
         vu = m.normalize(hit_p - v)
 
         tau_uv = eval_transmittance_between(scene, hit_p, v)
-        tau_sv, _, pdf_fail_sv = mapi.eval_ray_seg(med, vrl_s, v)
+        if use_tables:
+            tau_sv, pdf_fail_sv = eval_sv_at(v)
+        else:
+            tau_sv, _, pdf_fail_sv = mapi.eval_ray_seg(med, vrl_s, v)
 
         c = vrl_power
         c = c * mapi.sigma_s_at(med, v)
@@ -295,7 +327,12 @@ def pair_contribution(
     vv = jnp.stack([vol_vol_one(u_vv[..., i, :]) for i in range(s_vv)], axis=-2) if s_vv else None
     # --- vol-surf samples -------------------------------------------------
     # tau from eye to the surface hit, *VRL medium* (parity quirk).
-    tau_e_usurf = mapi.transmittance(med, e_pt, hit_p)
+    if use_tables:
+        tau_e_usurf = jnp.exp(
+            -med.sigma_t_color * eye_od[..., -1:]
+        )
+    else:
+        tau_e_usurf = mapi.transmittance(med, e_pt, hit_p)
     surf_ok = hit_valid & ~spec.is_zero(tau_e_usurf)
     vs = (
         jnp.stack([vol_surf_one(u_vs[..., i]) for i in range(s_vs)], axis=-2)

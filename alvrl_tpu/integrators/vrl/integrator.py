@@ -64,8 +64,24 @@ def vrl_sum(scene: Scene, ray_o, ray_d, hit, vrls: VRLs, key, cfg: VRLConfig,
 
     expand = lambda a: a[:, None] if a.ndim == 1 else a[:, None, :]
 
+    # grid media: per-ray and per-VRL cumulative-OD tables, built once
+    # (the integrand interpolates instead of re-integrating)
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.media import heterogeneous as gmed_
+
+    use_tables = not mapi_.is_homogeneous(scene.medium)
+    if use_tables:
+        nq = gmed_.N_TAU_STEPS
+        eye_od = gmed_.cumulative_od(scene.medium, ray_o, hit.p)
+        v_od = padded(
+            gmed_.cumulative_od(scene.medium, vrls.start, vrls.end)
+        ).reshape(n_chunks, c, nq + 1)
+    else:
+        eye_od = None
+        v_od = jnp.zeros((n_chunks, 1, 1))
+
     def body(acc, inp):
-        ci, vs, ve, vp, vv = inp
+        ci, vs, ve, vp, vv, vod = inp
         u_vv, u_vs = _chunk_uniforms(
             key, ci, (b, c, cfg.vol_vol_samples, 2), (b, c, cfg.vol_surf_samples)
         )
@@ -85,6 +101,8 @@ def vrl_sum(scene: Scene, ray_o, ray_d, hit, vrls: VRLs, key, cfg: VRLConfig,
             u_vs,
             cfg,
             weight=None if weight is None else expand(weight),
+            eye_od=None if not use_tables else eye_od[:, None, :],
+            vrl_od=None if not use_tables else vod[None],
         )
         return acc + jnp.sum(total, axis=1), None
 
@@ -92,7 +110,7 @@ def vrl_sum(scene: Scene, ray_o, ray_d, hit, vrls: VRLs, key, cfg: VRLConfig,
     acc, _ = jax.lax.scan(
         body,
         init,
-        (jnp.arange(n_chunks), v_start, v_end, v_power, v_valid),
+        (jnp.arange(n_chunks), v_start, v_end, v_power, v_valid, v_od),
     )
     return acc / jnp.maximum(vrls.particle_count, 1.0)
 
@@ -411,6 +429,15 @@ def _clustered_li(
 
     norm = 1.0 / jnp.maximum(vrls.particle_count, 1.0)
 
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.media import heterogeneous as gmed_
+
+    use_tables = not mapi_.is_homogeneous(scene.medium)
+    if use_tables:
+        vrl_od_full = gmed_.cumulative_od(
+            scene.medium, vrls.start, vrls.end
+        )  # (N, n+1), built once per frame
+
     def tile_fn(args):
         i, o_t, d_t, sl_t = args
         b = o_t.shape[0]
@@ -425,6 +452,13 @@ def _clustered_li(
             rng.fold(k, rng.P_VOLSURF), (b, cmax, cfg.vol_surf_samples)
         )
         expand = lambda a: a[:, None] if a.ndim == 1 else a[:, None, :]
+        if use_tables:
+            eye_od_t = gmed_.cumulative_od(scene.medium, o_t, hit.p)
+            eye_od_kw = eye_od_t[:, None, :]
+            vrl_od_kw = vrl_od_full[ids]
+        else:
+            eye_od_kw = None
+            vrl_od_kw = None
         total, _, _ = pair_contribution(
             scene,
             expand(o_t), expand(d_t),
@@ -432,6 +466,7 @@ def _clustered_li(
             vrls.start[ids], vrls.end[ids], vrls.power[ids],
             vrls.valid[ids] & (wgt > 0),
             u_vv, u_vs, cfg,
+            eye_od=eye_od_kw, vrl_od=vrl_od_kw,
         )
         li = jnp.sum(total * wgt[..., None], axis=1) * norm
         return jnp.where(hit.valid[..., None], li, 0.0)

@@ -132,6 +132,36 @@ def optical_depth(med: GridMedium, p0, p1, n_steps=N_TAU_STEPS):
     return total * dist / n_steps
 
 
+def cumulative_od(med: GridMedium, p0, p1, n_steps=N_TAU_STEPS):
+    """Cumulative optical depth along [p0, p1]: returns (..., n+1) with
+    cum[..., k] = integral of density over the first k/n of the segment
+    (midpoint rule per sub-interval). Lets callers that evaluate many
+    taus along the SAME segment (per-eye-ray and per-VRL tables in the
+    pairwise kernel) pay the quadrature gathers once and interpolate."""
+    delta = p1 - p0
+    dist = jnp.linalg.norm(delta, axis=-1)
+
+    def body(i, acc):
+        t = (i.astype(jnp.float32) + 0.5) / n_steps
+        d = lookup_density(med, p0 + t * delta)
+        return acc.at[..., i + 1].set(acc[..., i] + d)
+
+    cum = jnp.zeros(jnp.shape(dist) + (n_steps + 1,), jnp.float32)
+    cum = jax.lax.fori_loop(0, n_steps, body, cum)
+    return cum * (dist / n_steps)[..., None]
+
+
+def interp_od(cum, frac, n_steps=N_TAU_STEPS):
+    """Linear interpolation of a cumulative_od table at fraction(s) of
+    the segment. frac clipped to [0, 1]."""
+    x = jnp.clip(frac, 0.0, 1.0) * n_steps
+    k0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_steps - 1)
+    w = x - k0
+    c0 = jnp.take_along_axis(cum, k0[..., None], axis=-1)[..., 0]
+    c1 = jnp.take_along_axis(cum, (k0 + 1)[..., None], axis=-1)[..., 0]
+    return c0 * (1.0 - w) + c1 * w
+
+
 def eval_transmittance(med: GridMedium, p0, p1):
     """Spectral tau = exp(-sigma_t_color * int density)."""
     od = optical_depth(med, p0, p1)
