@@ -42,6 +42,7 @@ class ProgressiveConfig:
     dump_prefix: str = "pass"
     clustered: bool = False
     use_pallas: bool = False
+    antialias: bool = True  # fresh sub-pixel jitter each pass
     checkpoint_path: str | None = None  # .npz accumulator for resume
 
 
@@ -100,11 +101,12 @@ def render_progressive(
                     raw, params.vrl_target_num,
                     slots_per_particle=tracer_cfg.max_depth,
                 )
-                render = (
-                    render_with_vrls_pallas if prog.use_pallas
-                    else render_with_vrls
-                )
-                img = render(scene, vrls, k_r, cfg)
+                if prog.use_pallas:
+                    img = render_with_vrls_pallas(scene, vrls, k_r, cfg)
+                else:
+                    img = render_with_vrls(
+                        scene, vrls, k_r, cfg, antialias=prog.antialias
+                    )
             img = np.asarray(jax.block_until_ready(img))
         wall = time.perf_counter() - t0
 

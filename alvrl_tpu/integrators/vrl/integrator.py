@@ -502,16 +502,23 @@ def render_unclustered(
     return img, vrls
 
 
-@partial(jax.jit, static_argnames=("cfg", "ray_tile", "band_h"))
+@partial(jax.jit, static_argnames=("cfg", "ray_tile", "band_h", "antialias"))
 def _render_rows(scene: Scene, vrls: VRLs, key, y_off, band_h: int,
-                 cfg: VRLConfig, ray_tile: int):
+                 cfg: VRLConfig, ray_tile: int, antialias: bool = False):
     """Unclustered li for scanline rows [y_off, y_off + band_h)."""
     cam = scene.camera
     w = cam.width
     px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(band_h))
     px = px.reshape(-1)
     py = py.reshape(-1) + y_off
-    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    jitter = None
+    if antialias:
+        # sub-pixel jitter per pass (the reference draws a fresh film
+        # sample each progressive pass, integrator.cpp renderBlock)
+        jitter = rng.uniform(
+            rng.fold(key, rng.P_PIXEL, 1), (px.shape[0], 2)
+        )
+    ray_o, ray_d = perspective.sample_ray(cam, px, py, jitter=jitter)
 
     n = px.shape[0]
     n_tiles = -(-n // ray_tile)
@@ -538,7 +545,7 @@ def _render_rows(scene: Scene, vrls: VRLs, key, y_off, band_h: int,
 
 def render_with_vrls(
     scene: Scene, vrls: VRLs, key, cfg: VRLConfig = VRLConfig(),
-    ray_tile: int = 2048, host_bands: int = 1,
+    ray_tile: int = 2048, host_bands: int = 1, antialias: bool = False,
 ):
     """Full-frame unclustered render. `host_bands` > 1 splits the frame
     into scanline bands issued as separate device calls — required for
@@ -550,7 +557,7 @@ def render_with_vrls(
     band_h = h // host_bands
     rows = [
         _render_rows(scene, vrls, key, jnp.int32(b * band_h), band_h,
-                     cfg, ray_tile)
+                     cfg, ray_tile, antialias)
         for b in range(host_bands)
     ]
     return jnp.concatenate(rows, axis=0)
