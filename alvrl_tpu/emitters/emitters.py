@@ -29,6 +29,7 @@ POINT = 0
 SPOT = 1
 DIRECTIONAL = 2
 AREA = 3       # one triangle per entry (quad lights = 2 entries)
+CONSTANT = 4   # constant environment radiance (constant.cpp)
 
 
 @struct.dataclass
@@ -67,6 +68,8 @@ def make_emitters(kinds, positions, intensities, directions=None,
     e2 = (jnp.asarray(tri_e2, jnp.float32).reshape(e, 3)
           if tri_e2 is not None else jnp.zeros((e, 3)))
     # power-weighted selection pmf: area emitters weigh by L*pi*A
+    # (constant env keeps plain luminance — its power depends on the
+    # scene bounds, unknown here)
     area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
     lum = spectrum.luminance(intensities)
     lum = jnp.where(kinds == AREA, lum * jnp.pi * jnp.maximum(area, 1e-12),
@@ -145,20 +148,37 @@ def sample_emission(em: Emitters, key, scene_center, scene_radius):
     )
     w_area = inten * (jnp.pi * area)
 
+    # constant env: emit from the bounding sphere inward — position
+    # uniform on the sphere, direction cosine-weighted about the inward
+    # normal; power = L * pi * (4 pi R^2) (constant.cpp emission)
+    u_env = rng.uniform2(k_pos)
+    n_out = warp.square_to_uniform_sphere(u_env)
+    p_env = scene_center + scene_radius * 1.05 * n_out
+    s_e, t_e = m.build_frame(-n_out)
+    local_e = warp.square_to_cosine_hemisphere(rng.uniform2(k_dir))
+    d_env = m.frame_to_world(s_e, t_e, -n_out, local_e)
+    w_env = inten * (
+        jnp.pi * 4.0 * jnp.pi * (1.05 * scene_radius) ** 2
+    )
+
     is_area = kind == AREA
+    is_env = kind == CONSTANT
     pos = jnp.where(
         (kind == DIRECTIONAL)[..., None], disk,
-        jnp.where(is_area[..., None], tri_p, em.position[idx]),
+        jnp.where(is_area[..., None], tri_p,
+                  jnp.where(is_env[..., None], p_env, em.position[idx])),
     )
     d = jnp.where(
         (kind == POINT)[..., None], d_sphere,
         jnp.where((kind == SPOT)[..., None], d_cone,
-                  jnp.where(is_area[..., None], d_area, axis_d)),
+                  jnp.where(is_area[..., None], d_area,
+                            jnp.where(is_env[..., None], d_env, axis_d))),
     )
     weight = jnp.where(
         (kind == POINT)[..., None], w_point,
         jnp.where((kind == SPOT)[..., None], w_spot,
-                  jnp.where(is_area[..., None], w_area, w_dir)),
+                  jnp.where(is_area[..., None], w_area,
+                            jnp.where(is_env[..., None], w_env, w_dir))),
     )
     return pos, d, weight
 
@@ -199,18 +219,28 @@ def nee(em: Emitters, key, p, scene_radius):
     cos_face = jnp.maximum(m.dot(n_face, -dir_a), 0.0)
     v_area = inten * (cos_face * area / r2_a)[..., None]
 
+    # constant env NEE: uniform-sphere direction, value = L / pdf
+    # = L * 4 pi (MIS-free single-strategy estimator)
+    d_env = warp.square_to_uniform_sphere(rng.uniform2(k_uv))
+    v_env = inten * (4.0 * jnp.pi)
+    dist_env = 2.5 * scene_radius
+
     is_dir = kind == DIRECTIONAL
     is_area = kind == AREA
+    is_env = kind == CONSTANT
     out_d = jnp.where(
         is_dir[..., None], d_dir,
-        jnp.where(is_area[..., None], dir_a, dirn),
+        jnp.where(is_area[..., None], dir_a,
+                  jnp.where(is_env[..., None], d_env, dirn)),
     )
     out_v = jnp.where(
         (kind == POINT)[..., None], v_point,
         jnp.where((kind == SPOT)[..., None], v_spot,
-                  jnp.where(is_area[..., None], v_area, v_dir)),
+                  jnp.where(is_area[..., None], v_area,
+                            jnp.where(is_env[..., None], v_env, v_dir))),
     )
     out_dist = jnp.where(
-        is_dir, dist_dir, jnp.where(is_area, dist_a, dist)
+        is_dir, dist_dir,
+        jnp.where(is_area, dist_a, jnp.where(is_env, dist_env, dist)),
     )
     return out_d, out_v, out_dist

@@ -109,6 +109,29 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         surface_event = (~ms.success) & hit.valid & active
         escape = (~ms.success) & (~hit.valid) & active
 
+        # environment radiance on escape (volpath.cpp:277-289): gated by
+        # first&&second under onlyVRLpaths; attenuated by the medium
+        # (w_pass is tau/pdfFailure over the escape segment)
+        from alvrl_tpu.emitters.emitters import CONSTANT
+
+        env_l = jnp.sum(
+            jnp.where(
+                (scene.emitters.kind == CONSTANT)[:, None],
+                scene.emitters.intensity, 0.0,
+            ),
+            axis=0,
+        )
+        # emission queries are dropped after the first scatter
+        # (ERadianceNoEmission) — NEE covers the env beyond depth 1
+        env_gate = escape & (depth == 1)
+        if cfg.only_vrl_paths:
+            env_gate = escape & state["first_ok"] & state["second_ok"]
+        li_env = jnp.where(
+            env_gate[..., None],
+            state["throughput"] * ms.w_pass * env_l,
+            0.0,
+        )
+
         # ---------------- medium vertex ------------------------------
         p_med = ms.p
         first_ok_med = state["first_ok"] | (
@@ -243,7 +266,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         )
 
         # ---------------- merge --------------------------------------
-        li = state["li"] + li_med + li_surf + li_emit
+        li = state["li"] + li_med + li_surf + li_emit + li_env
         new_o = jnp.where(medium_event[..., None], p_med, hit_p)
         new_d = jnp.where(medium_event[..., None], wo_phase, wo_bsdf)
         new_tp = jnp.where(

@@ -68,7 +68,7 @@ _CAM_KINDS = {
 }
 _EM_KINDS = {
     "point": em_mod.POINT, "spot": em_mod.SPOT,
-    "directional": em_mod.DIRECTIONAL,
+    "directional": em_mod.DIRECTIONAL, "constant": em_mod.CONSTANT,
 }
 
 

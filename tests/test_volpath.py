@@ -131,3 +131,41 @@ def test_surface_path_tracer():
     assert f.mean() > 0 and d.mean() > 0
     # global illumination adds energy over direct-only
     assert f.mean() >= d.mean() * 0.999
+
+
+def test_constant_env_analytic():
+    """Open-scene analytic fixture (the reference's data/tests style):
+    a Lambertian floor under a constant environment — sky pixels read
+    exactly L, floor pixels albedo * L."""
+    from alvrl_tpu.emitters import emitters as em_mod
+    from alvrl_tpu.geometry import shapes
+    from alvrl_tpu.media.homogeneous import HomogeneousMedium
+    from alvrl_tpu.scene.scene import Camera, Scene, look_at, make_materials
+
+    v, f = shapes.rectangle()
+    v = v @ np.array([[1, 0, 0], [0, 0, 1], [0, 1, 0]], np.float32).T * 3.0
+    em = em_mod.make_emitters([em_mod.CONSTANT], [[0, 0, 0]],
+                              [[0.8, 0.8, 0.8]])
+    vac = HomogeneousMedium(
+        sigma_a=jnp.zeros(3), sigma_s=jnp.zeros(3),
+        g=jnp.float32(0.0), sampling_weight=jnp.float32(0.0),
+    )
+    cam = Camera(
+        to_world=look_at([0, 1.2, -2.5], [0, 0.4, 0], [0, 1, 0]),
+        fov_x_deg=jnp.float32(70.0), width=12, height=12,
+    )
+    scene = Scene(
+        vertices=jnp.asarray(v), faces=jnp.asarray(f),
+        material=jnp.zeros(2, jnp.int32),
+        materials=make_materials([0], [[0.6, 0.6, 0.6]]),
+        emitters=em, medium=vac, camera=cam,
+    )
+    img = np.asarray(volpath.render_volpath(
+        scene, jax.random.key(0), spp=96,
+        cfg=volpath.VolpathConfig(max_depth=8, only_vrl_paths=False),
+        ray_tile=144,
+    ))
+    sky = img[:3].mean()
+    floor = img[-3:].mean()
+    assert abs(sky - 0.8) < 1e-4, sky
+    assert abs(floor - 0.48) < 0.03, floor
