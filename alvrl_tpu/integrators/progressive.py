@@ -91,7 +91,6 @@ def render_progressive(
                     scene, k_pass, params, cfg, tracer_cfg,
                     slice_info=slice_info,
                 )
-                n_reps = None  # per-pixel rep count varies; count below
             else:
                 k_t, k_r = jax.random.split(k_pass)
                 raw = tracer_mod.trace(

@@ -80,7 +80,6 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         second_ok=jnp.bool_(not cfg.only_vrl_paths),
         prev_volume=jnp.bool_(False),
         prev_diffuse=jnp.bool_(False),
-        indirect_medium=jnp.bool_(True),
     )
 
     def step(state, k):
@@ -316,7 +315,6 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             second_ok=second_ok,
             prev_volume=prev_volume,
             prev_diffuse=prev_diffuse,
-            indirect_medium=state["indirect_medium"],
         )
         # Freeze everything except li on inactive lanes.
         froze = jax.tree_util.tree_map(

@@ -147,7 +147,6 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
     k_emit, k_walk = jax.random.split(key)
     pos, d, weight = _sample_emission(scene, k_emit)
 
-    opaque = None  # particles interact with every surface, incl. null->pass
     med = scene.medium
 
     state = dict(
