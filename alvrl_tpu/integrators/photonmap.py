@@ -1,0 +1,318 @@
+"""Photon mapping: surface + volumetric density estimation, and the
+progressive (PPM/SPPM-style) driver.
+
+Counterpart of src/integrators/photonmapper/{photonmapper,ppm,sppm}.cpp
+and the photon map infrastructure (src/librender/photonmap.cpp over the
+point kd-tree, include/mitsuba/core/kdtree.h). TPU re-design: photons
+live in fixed-capacity struct-of-arrays buffers and radius queries are
+brute-force masked reductions over photon chunks — at benchmark photon
+counts (1e4-1e6) a dense (queries x photons) sweep on the VPU beats
+divergent kd-tree traversal, exactly like the triangle intersector.
+
+Estimators:
+  * surface: Lr(x, wo) = sum_{|xi-x|<r} f(wi_i, wo) Phi_i / (pi r^2)
+  * volume (point estimate at ray-march samples):
+      Li(x, w) = sum_{|xi-x|<r} rho(wi_i, w) Phi_i / ((4/3) pi r^3)
+    accumulated as sum_k tau(0,t_k) sigma-free estimate * dt (the
+    radiance already carries sigma_s through the photon deposition)
+  * progressive: pass p uses radius r_p^2 = r_0^2 * prod (i+alpha)/(i+1)
+    (Knaus-Zwicker progressive shrinkage), accumulated over passes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from alvrl_tpu.core import math as m
+from alvrl_tpu.core import rng
+from alvrl_tpu.film import film as film_mod
+from alvrl_tpu.geometry import intersect
+from alvrl_tpu.integrators.vrl.integrate import bsdf_eval_smooth
+from alvrl_tpu.integrators.vrl.tracer import (
+    TracerConfig,
+    _sample_bsdf_importance,
+    _sample_emission,
+)
+from alvrl_tpu.media import api as mapi
+from alvrl_tpu.media import phase as ph
+from alvrl_tpu.scene.scene import DIFFUSE, Scene
+from alvrl_tpu.sensors import perspective
+
+
+@struct.dataclass
+class PhotonMap:
+    """Surface and volume photons (counterpart of PhotonMap/Photon)."""
+
+    s_pos: jax.Array     # (Ns, 3)
+    s_wi: jax.Array      # (Ns, 3) direction the photon ARRIVED from
+    s_power: jax.Array   # (Ns, 3)
+    s_valid: jax.Array   # (Ns,)
+    v_pos: jax.Array     # (Nv, 3)
+    v_wi: jax.Array      # (Nv, 3)
+    v_power: jax.Array   # (Nv, 3)
+    v_valid: jax.Array   # (Nv,)
+    n_emitted: jax.Array  # scalar: traced particles (normalizer)
+
+
+@partial(jax.jit, static_argnames=("num_particles", "cfg"))
+def trace_photons(scene: Scene, key, num_particles: int,
+                  cfg: TracerConfig = TracerConfig()) -> PhotonMap:
+    """Photon shooting: the shared light walk, depositing a photon at
+    every medium vertex (volume map) and every diffuse surface vertex
+    (surface map). Power convention: the photon carries the incident
+    flux estimate beta BEFORE the local scattering event
+    (photonmapper.cpp handleSurfaceInteraction semantics)."""
+    med = scene.medium
+
+    def one(key):
+        k_emit, k_walk = jax.random.split(key)
+        pos, d, weight = _sample_emission(scene, k_emit)
+        state = dict(
+            ray_o=pos, ray_d=d, beta=weight, tp=jnp.ones((3,)),
+            eta=jnp.float32(1.0), active=~jnp.all(weight == 0.0),
+        )
+
+        def step(state, inp):
+            depth, k = inp
+            k_dist, k_phase, k_bsdf, k_rr = jax.random.split(k, 4)
+            hit = intersect.intersect_all(
+                state["ray_o"], state["ray_d"], scene.vertices, scene.faces
+            )
+            hit = hit._replace(
+                p=jnp.where(hit.valid[..., None], hit.p, state["ray_o"])
+            )
+            dist_surf = jnp.where(hit.valid, hit.t, jnp.float32(1e30))
+            ms = mapi.sample_distance_seg(
+                med, k_dist, state["ray_o"], state["ray_d"], dist_surf
+            )
+            active = state["active"]
+            medium_event = ms.success & active
+            surface_event = (~ms.success) & hit.valid & active
+
+            mat_id = scene.material[jnp.maximum(hit.prim, 0)]
+            is_diffuse = scene.materials.kind[mat_id] == DIFFUSE
+
+            # photon deposits: incident flux at the vertex. Volume
+            # photons carry beta * tau/pdfSuccess (sigma_s applied by
+            # the estimator's rho... we fold sigma_s into the photon so
+            # the volume estimate is pure phase * Phi / volume):
+            beta_med_v = state["beta"] * ms.w_scatter
+            beta_surf_v = state["beta"] * ms.w_pass
+            out = dict(
+                v_pos=ms.p, v_wi=-state["ray_d"], v_pow=beta_med_v,
+                v_ok=medium_event,
+                s_pos=hit.p, s_wi=-state["ray_d"], s_pow=beta_surf_v,
+                s_ok=surface_event & is_diffuse,
+            )
+
+            wo_phase, w_phase, _ = ph.sample_hg(
+                med.g, -state["ray_d"], rng.uniform2(k_phase)
+            )
+            wo_bsdf, w_bsdf, eta_ratio, bsdf_valid = _sample_bsdf_importance(
+                scene, k_bsdf, mat_id, hit.ng, hit.ng_raw,
+                state["ray_d"], hit.p,
+            )
+            new_o = jnp.where(medium_event[..., None], ms.p, hit.p)
+            new_d = jnp.where(medium_event[..., None], wo_phase, wo_bsdf)
+            new_beta = jnp.where(
+                medium_event[..., None],
+                beta_med_v * w_phase[..., None],
+                beta_surf_v * w_bsdf,
+            )
+            new_tp = jnp.where(
+                medium_event[..., None],
+                state["tp"] * ms.w_scatter * w_phase[..., None],
+                state["tp"] * ms.w_pass * w_bsdf,
+            )
+            new_eta = jnp.where(
+                surface_event, state["eta"] * eta_ratio, state["eta"]
+            )
+            survive = medium_event | (
+                surface_event & bsdf_valid & ~jnp.all(w_bsdf == 0.0)
+            )
+            q = jnp.minimum(jnp.max(new_tp) * new_eta ** 2, 0.95)
+            do_rr = depth >= cfg.rr_depth
+            rr_kill = do_rr & (rng.uniform(k_rr) >= q)
+            rr_scale = jnp.where(
+                do_rr & ~rr_kill, 1.0 / jnp.maximum(q, 1e-30), 1.0
+            )
+            new_state = dict(
+                ray_o=new_o, ray_d=new_d,
+                beta=new_beta * rr_scale, tp=new_tp * rr_scale,
+                eta=new_eta, active=survive & ~rr_kill,
+            )
+            new_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    active.reshape(
+                        active.shape + (1,) * (n.ndim - active.ndim)
+                    ), n, o,
+                ),
+                new_state, state,
+            )
+            return new_state, out
+
+        depths = jnp.arange(1, cfg.max_depth + 1)
+        keys = jax.random.split(k_walk, cfg.max_depth)
+        _, outs = jax.lax.scan(step, state, (depths, keys))
+        return outs
+
+    outs = jax.vmap(one)(jax.random.split(key, num_particles))
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    return PhotonMap(
+        s_pos=flat(outs["s_pos"]), s_wi=flat(outs["s_wi"]),
+        s_power=flat(outs["s_pow"]), s_valid=flat(outs["s_ok"]),
+        v_pos=flat(outs["v_pos"]), v_wi=flat(outs["v_wi"]),
+        v_power=flat(outs["v_pow"]), v_valid=flat(outs["v_ok"]),
+        n_emitted=jnp.float32(num_particles),
+    )
+
+
+def surface_estimate(scene: Scene, pm: PhotonMap, q_pos, q_wo, q_ng,
+                     q_mat, radius, chunk=2048):
+    """Lr at surface points (B, ...) via the pi r^2 kernel."""
+    r2 = radius * radius
+    n = pm.s_power.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def padded(a):
+        if pad == 0:
+            return a
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    pp = padded(pm.s_pos).reshape(n_chunks, chunk, 3)
+    pw = padded(pm.s_wi).reshape(n_chunks, chunk, 3)
+    pph = padded(pm.s_power).reshape(n_chunks, chunk, 3)
+    pv = padded(pm.s_valid).reshape(n_chunks, chunk)
+
+    def body(acc, inp):
+        p_c, wi_c, phi_c, v_c = inp
+        d2 = m.length_sq(q_pos[:, None, :] - p_c[None, :, :])
+        inside = (d2 < r2) & v_c[None, :]
+        f = bsdf_eval_smooth(
+            scene, q_mat[:, None], q_ng[:, None, :],
+            q_wo[:, None, :], wi_c[None, :, :],
+            p_world=q_pos[:, None, :],
+        )
+        # eval includes cos(wo_arg)=cos(wi_i); the density estimate wants
+        # plain f, so divide the cosine back out (diffuse: albedo/pi)
+        cos_i = jnp.maximum(
+            m.dot(q_ng[:, None, :], wi_c[None, :, :]), 1e-6
+        )
+        f = f / cos_i[..., None]
+        return acc + jnp.sum(
+            jnp.where(inside[..., None], f * phi_c[None, :, :], 0.0),
+            axis=1,
+        ), None
+
+    init = jnp.zeros((q_pos.shape[0], 3))
+    acc, _ = jax.lax.scan(body, init, (pp, pw, pph, pv))
+    return acc / (jnp.pi * r2 * jnp.maximum(pm.n_emitted, 1.0))
+
+
+def volume_estimate(scene: Scene, pm: PhotonMap, q_pos, q_w, radius,
+                    chunk=2048):
+    """In-scattered radiance at volume points via the (4/3) pi r^3
+    kernel. Photons already carry sigma_s (deposited with w_scatter)."""
+    r2 = radius * radius
+    vol = (4.0 / 3.0) * jnp.pi * radius ** 3
+    med = scene.medium
+    n = pm.v_power.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def padded(a):
+        if pad == 0:
+            return a
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    pp = padded(pm.v_pos).reshape(n_chunks, chunk, 3)
+    pw = padded(pm.v_wi).reshape(n_chunks, chunk, 3)
+    pph = padded(pm.v_power).reshape(n_chunks, chunk, 3)
+    pv = padded(pm.v_valid).reshape(n_chunks, chunk)
+
+    def body(acc, inp):
+        p_c, wi_c, phi_c, v_c = inp
+        d2 = m.length_sq(q_pos[:, None, :] - p_c[None, :, :])
+        inside = (d2 < r2) & v_c[None, :]
+        rho = ph.eval_hg(med.g, wi_c[None, :, :], -q_w[:, None, :])
+        return acc + jnp.sum(
+            jnp.where(inside[..., None], rho[..., None] * phi_c[None, :, :], 0.0),
+            axis=1,
+        ), None
+
+    init = jnp.zeros((q_pos.shape[0], 3))
+    acc, _ = jax.lax.scan(body, init, (pp, pw, pph, pv))
+    return acc / (vol * jnp.maximum(pm.n_emitted, 1.0))
+
+
+@partial(jax.jit, static_argnames=("march_steps", "chunk"))
+def render_photonmap(scene: Scene, pm: PhotonMap, key, r_surface,
+                     r_volume, march_steps: int = 24, chunk: int = 2048):
+    """Eye pass: ray-march the medium accumulating volume estimates,
+    plus the surface estimate at the hit (photonmapper.cpp Li)."""
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px, py = px.reshape(-1), py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    hit = intersect.intersect_all(ray_o, ray_d, scene.vertices, scene.faces)
+    hit_p = jnp.where(hit.valid[..., None], hit.p, ray_o)
+    t_hit = jnp.where(hit.valid, hit.t, 0.0)
+    mat = scene.material[jnp.maximum(hit.prim, 0)]
+    med = scene.medium
+
+    # jittered ray march for the volume term
+    u = rng.uniform(rng.fold(key, rng.P_PIXEL), (px.shape[0],))
+    dt = t_hit / march_steps
+
+    def march(k, acc):
+        t_k = (k + u) * dt
+        p_k = ray_o + t_k[..., None] * ray_d
+        li_k = volume_estimate(scene, pm, p_k, ray_d, r_volume, chunk)
+        tau_k = mapi.transmittance(med, ray_o, p_k)
+        return acc + li_k * tau_k * dt[..., None]
+
+    li_vol = jax.lax.fori_loop(
+        0, march_steps, march, jnp.zeros((px.shape[0], 3))
+    )
+
+    # surface term
+    lr = surface_estimate(
+        scene, pm, hit_p, -ray_d, hit.ng, mat, r_surface, chunk
+    )
+    tau_surf = mapi.transmittance(med, ray_o, hit_p)
+    li = li_vol + jnp.where(hit.valid[..., None], lr * tau_surf, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)
+
+
+def render_ppm(scene: Scene, key, n_passes: int = 8,
+               photons_per_pass: int = 512, r0_surface=0.1, r0_volume=0.15,
+               alpha: float = 0.7, cfg: TracerConfig = TracerConfig(),
+               march_steps: int = 24):
+    """Progressive photon mapping (ppm/sppm.cpp): fresh photons each
+    pass, radii shrunk with the Knaus-Zwicker schedule, passes
+    averaged — consistent as n_passes -> inf."""
+    import numpy as np
+
+    accum = None
+    r2s, r2v = float(r0_surface) ** 2, float(r0_volume) ** 2
+    for p in range(n_passes):
+        k_p = rng.fold(key, p)
+        pm = trace_photons(scene, rng.fold(k_p, 0), photons_per_pass, cfg)
+        img = render_photonmap(
+            scene, pm, rng.fold(k_p, 1),
+            jnp.float32(np.sqrt(r2s)), jnp.float32(np.sqrt(r2v)),
+            march_steps=march_steps,
+        )
+        img = np.asarray(jax.block_until_ready(img))
+        accum = img if accum is None else accum + img
+        shrink = (p + 1 + alpha) / (p + 2)
+        r2s *= shrink
+        r2v *= shrink
+    return accum / n_passes
