@@ -24,12 +24,17 @@ from flax import struct
 
 from alvrl_tpu.core import math as m
 from alvrl_tpu.core import rng, spectrum, warp
+from alvrl_tpu.emitters.envmap import (
+    EnvMap, default_envmap, eval_env, pdf_env, sample_env,
+)
 
 POINT = 0
 SPOT = 1
 DIRECTIONAL = 2
 AREA = 3       # one triangle per entry (quad lights = 2 entries)
 CONSTANT = 4   # constant environment radiance (constant.cpp)
+ENVMAP = 5     # lat-long environment texture (envmap.cpp; sky/sun bake
+               # into it via emitters.sunsky)
 
 
 @struct.dataclass
@@ -44,10 +49,17 @@ class Emitters:
     tri_e1: jax.Array      # (E, 3) AREA: triangle edge p1 - p0
     tri_e2: jax.Array      # (E, 3) AREA: triangle edge p2 - p0
     pmf: jax.Array         # (E,) selection pmf
+    env: EnvMap = None     # the (single) environment map, shared by all
+                           # ENVMAP entries; zero 1x1 map when unused
+
+    def __post_init__(self):
+        if self.env is None:
+            object.__setattr__(self, "env", default_envmap())
 
 
 def make_emitters(kinds, positions, intensities, directions=None,
-                  cutoff_deg=None, beam_deg=None, tri_e1=None, tri_e2=None):
+                  cutoff_deg=None, beam_deg=None, tri_e1=None, tri_e2=None,
+                  env: EnvMap = None):
     kinds = jnp.asarray(kinds, jnp.int32).reshape(-1)
     e = kinds.shape[0]
     positions = jnp.asarray(positions, jnp.float32).reshape(e, 3)
@@ -67,18 +79,22 @@ def make_emitters(kinds, positions, intensities, directions=None,
           if tri_e1 is not None else jnp.zeros((e, 3)))
     e2 = (jnp.asarray(tri_e2, jnp.float32).reshape(e, 3)
           if tri_e2 is not None else jnp.zeros((e, 3)))
+    if env is None:
+        env = default_envmap()
     # power-weighted selection pmf: area emitters weigh by L*pi*A
     # (constant env keeps plain luminance — its power depends on the
-    # scene bounds, unknown here)
+    # scene bounds, unknown here); envmap entries use the map's
+    # solid-angle-mean radiance luminance
     area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
     lum = spectrum.luminance(intensities)
     lum = jnp.where(kinds == AREA, lum * jnp.pi * jnp.maximum(area, 1e-12),
                     lum)
+    lum = jnp.where(kinds == ENVMAP, spectrum.luminance(env.mean), lum)
     pmf = lum / jnp.maximum(jnp.sum(lum), 1e-30)
     return Emitters(
         kind=kinds, position=positions, direction=directions,
         intensity=intensities, cos_cutoff=cutoff, cos_beam=beam,
-        tri_e1=e1, tri_e2=e2, pmf=pmf,
+        tri_e1=e1, tri_e2=e2, pmf=pmf, env=env,
     )
 
 
@@ -161,24 +177,51 @@ def sample_emission(em: Emitters, key, scene_center, scene_radius):
         jnp.pi * 4.0 * jnp.pi * (1.05 * scene_radius) ** 2
     )
 
+    # envmap: importance-sample the arrival direction from the map, then
+    # a point on a disk of radius R perpendicular to it outside the
+    # scene; photon power = L(d)/pdf(d) * pi R^2 (envmap.cpp emission)
+    d_map, pdf_map, l_map = sample_env(em.env, rng.uniform2(k_dir))
+    u2m = rng.uniform2(k_pos)
+    r_m = scene_radius * jnp.sqrt(u2m[..., 0])
+    phi_m = 2.0 * jnp.pi * u2m[..., 1]
+    s_m, t_m = m.build_frame(d_map)
+    p_map = (
+        scene_center
+        + d_map * scene_radius * 1.5
+        + s_m * (r_m * jnp.cos(phi_m))[..., None]
+        + t_m * (r_m * jnp.sin(phi_m))[..., None]
+    )
+    w_map = (
+        l_map / jnp.maximum(pdf_map, 1e-30)[..., None]
+        * (jnp.pi * scene_radius * scene_radius)
+        / em.pmf[idx]
+    )
+
     is_area = kind == AREA
     is_env = kind == CONSTANT
+    is_map = kind == ENVMAP
     pos = jnp.where(
         (kind == DIRECTIONAL)[..., None], disk,
         jnp.where(is_area[..., None], tri_p,
-                  jnp.where(is_env[..., None], p_env, em.position[idx])),
+                  jnp.where(is_env[..., None], p_env,
+                            jnp.where(is_map[..., None], p_map,
+                                      em.position[idx]))),
     )
     d = jnp.where(
         (kind == POINT)[..., None], d_sphere,
         jnp.where((kind == SPOT)[..., None], d_cone,
                   jnp.where(is_area[..., None], d_area,
-                            jnp.where(is_env[..., None], d_env, axis_d))),
+                            jnp.where(is_env[..., None], d_env,
+                                      jnp.where(is_map[..., None], -d_map,
+                                                axis_d)))),
     )
     weight = jnp.where(
         (kind == POINT)[..., None], w_point,
         jnp.where((kind == SPOT)[..., None], w_spot,
                   jnp.where(is_area[..., None], w_area,
-                            jnp.where(is_env[..., None], w_env, w_dir))),
+                            jnp.where(is_env[..., None], w_env,
+                                      jnp.where(is_map[..., None], w_map,
+                                                w_dir)))),
     )
     return pos, d, weight
 
@@ -225,22 +268,42 @@ def nee(em: Emitters, key, p, scene_radius):
     v_env = inten * (4.0 * jnp.pi)
     dist_env = 2.5 * scene_radius
 
+    # envmap NEE: importance-sample the map; value = L(d)/pdf(d)
+    d_map, pdf_map, l_map = sample_env(em.env, rng.uniform2(k_uv))
+    v_map = l_map / (jnp.maximum(pdf_map, 1e-30)[..., None] * em.pmf[idx])
+
     is_dir = kind == DIRECTIONAL
     is_area = kind == AREA
     is_env = kind == CONSTANT
+    is_map = kind == ENVMAP
     out_d = jnp.where(
         is_dir[..., None], d_dir,
         jnp.where(is_area[..., None], dir_a,
-                  jnp.where(is_env[..., None], d_env, dirn)),
+                  jnp.where(is_env[..., None], d_env,
+                            jnp.where(is_map[..., None], d_map, dirn))),
     )
     out_v = jnp.where(
         (kind == POINT)[..., None], v_point,
         jnp.where((kind == SPOT)[..., None], v_spot,
                   jnp.where(is_area[..., None], v_area,
-                            jnp.where(is_env[..., None], v_env, v_dir))),
+                            jnp.where(is_env[..., None], v_env,
+                                      jnp.where(is_map[..., None], v_map,
+                                                v_dir)))),
     )
     out_dist = jnp.where(
         is_dir, dist_dir,
-        jnp.where(is_area, dist_a, jnp.where(is_env, dist_env, dist)),
+        jnp.where(is_area, dist_a,
+                  jnp.where(is_env | is_map, dist_env, dist)),
     )
     return out_d, out_v, out_dist
+
+
+def env_radiance(em: Emitters, d):
+    """Environment radiance seen by a ray escaping in direction d:
+    constant emitters plus the environment map (zero when absent).
+    Counterpart of Scene::evalEnvironment."""
+    const_l = jnp.sum(
+        jnp.where((em.kind == CONSTANT)[:, None], em.intensity, 0.0),
+        axis=0,
+    )
+    return const_l + eval_env(em.env, d)

@@ -109,8 +109,8 @@ def trace_photons(scene: Scene, key, num_particles: int,
                 s_ok=surface_event & is_diffuse,
             )
 
-            wo_phase, w_phase, _ = ph.sample_hg(
-                med.g, -state["ray_d"], rng.uniform2(k_phase)
+            wo_phase, w_phase, _ = ph.sample_phase(
+                med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
             )
             wo_bsdf, w_bsdf, eta_ratio, bsdf_valid = _sample_bsdf_importance(
                 scene, k_bsdf, mat_id, hit.ng, hit.ng_raw,
@@ -239,7 +239,9 @@ def volume_estimate(scene: Scene, pm: PhotonMap, q_pos, q_w, radius,
         p_c, wi_c, phi_c, v_c = inp
         d2 = m.length_sq(q_pos[:, None, :] - p_c[None, :, :])
         inside = (d2 < r2) & v_c[None, :]
-        rho = ph.eval_hg(med.g, wi_c[None, :, :], -q_w[:, None, :])
+        rho = ph.eval_phase(
+            med.phase_kind, med.g, wi_c[None, :, :], -q_w[:, None, :]
+        )
         return acc + jnp.sum(
             jnp.where(inside[..., None], rho[..., None] * phi_c[None, :, :], 0.0),
             axis=1,

@@ -104,7 +104,9 @@ def _trace_and_splat_one(scene: Scene, key, cfg: TracerConfig):
         # w_scatter already divides by pdfSuccess)
         beta_med_v = state["beta"] * ms.w_scatter
         dir_pc = m.normalize(cam_pos - ms.p)
-        f_med = ph.eval_hg(med.g, -state["ray_d"], dir_pc)[..., None]
+        f_med = ph.eval_phase(
+            med.phase_kind, med.g, -state["ray_d"], dir_pc
+        )[..., None]
         xm, ym, vm, on_m = _camera_splat_value(
             scene, ms.p, beta_med_v * f_med
         )
@@ -132,8 +134,8 @@ def _trace_and_splat_one(scene: Scene, key, cfg: TracerConfig):
         )
 
         # ---- continuation (same walk as the VRL tracer) -------------
-        wo_phase, w_phase, _ = ph.sample_hg(
-            med.g, -state["ray_d"], rng.uniform2(k_phase)
+        wo_phase, w_phase, _ = ph.sample_phase(
+            med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
         )
         wo_bsdf, w_bsdf, eta_ratio, bsdf_valid = _sample_bsdf_importance(
             scene, k_bsdf, mat_id, hit.ng, hit.ng_raw, state["ray_d"], hit.p

@@ -111,15 +111,9 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         # environment radiance on escape (volpath.cpp:277-289): gated by
         # first&&second under onlyVRLpaths; attenuated by the medium
         # (w_pass is tau/pdfFailure over the escape segment)
-        from alvrl_tpu.emitters.emitters import CONSTANT
+        from alvrl_tpu.emitters.emitters import env_radiance
 
-        env_l = jnp.sum(
-            jnp.where(
-                (scene.emitters.kind == CONSTANT)[:, None],
-                scene.emitters.intensity, 0.0,
-            ),
-            axis=0,
-        )
+        env_l = env_radiance(scene.emitters, state["ray_d"])
         # emission queries are dropped after the first scatter
         # (ERadianceNoEmission) — NEE covers the env beyond depth 1
         env_gate = escape & (depth == 1)
@@ -141,7 +135,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
 
         # luminaire sampling at the medium vertex
         nee_dir, nee_val = _nee_point_light(scene, k_nee, p_med)
-        phase_val = ph.eval_hg(med.g, -state["ray_d"], nee_dir)
+        phase_val = ph.eval_phase(med.phase_kind, med.g, -state["ray_d"], nee_dir)
         nee_contrib = tp_med * nee_val * phase_val[..., None]
         if cfg.only_vrl_paths:
             prev_gate = (
@@ -164,8 +158,8 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         )
 
         # phase sampling for continuation
-        wo_phase, w_phase, _ = ph.sample_hg(
-            med.g, -state["ray_d"], rng.uniform2(k_phase)
+        wo_phase, w_phase, _ = ph.sample_phase(
+            med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
         )
         tp_med_cont = tp_med * w_phase[..., None]
         med_continue = medium_event & ~jnp.bool_(cfg.single_scatter)

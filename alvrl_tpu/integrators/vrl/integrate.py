@@ -294,8 +294,8 @@ def pair_contribution(
         c = c * tau_sv * tau_uv * tau_eu
         if cfg.short_vrls:
             c = c / jnp.maximum(pdf_fail_sv, 1e-30)[..., None]
-        c = c * ph.eval_hg(med.g, -vu, -ray_d)[..., None]
-        c = c * ph.eval_hg(med.g, -sv_dir, vu)[..., None]
+        c = c * ph.eval_phase(med.phase_kind, med.g, -vu, -ray_d)[..., None]
+        c = c * ph.eval_phase(med.phase_kind, med.g, -sv_dir, vu)[..., None]
         ok = (d_uv > 0.0) & jnp.all(jnp.isfinite(c), axis=-1)
         return jnp.where(ok[..., None], c, 0.0)
 
@@ -316,7 +316,7 @@ def pair_contribution(
         c = c * tau_sv * tau_uv
         if cfg.short_vrls:
             c = c / jnp.maximum(pdf_fail_sv, 1e-30)[..., None]
-        c = c * ph.eval_hg(med.g, -sv_dir, vu)[..., None]
+        c = c * ph.eval_phase(med.phase_kind, med.g, -sv_dir, vu)[..., None]
         c = c * bsdf_eval_smooth(
             scene, hit_mat, hit_ng, -ray_d, -vu, p_world=hit_p
         )

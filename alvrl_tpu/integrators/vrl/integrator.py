@@ -199,6 +199,7 @@ def render_with_vrls_pallas(scene: Scene, vrls: VRLs, key, cfg: VRLConfig = VRLC
         vol_vol_samples=cfg.vol_vol_samples,
         vol_surf_samples=cfg.vol_surf_samples,
         short_vrls=cfg.short_vrls,
+        phase_kind=scene.medium.phase_kind,
     )
     n = px.shape[0]
     li = out.T[:n] / jnp.maximum(vrls.particle_count, 1.0)
@@ -297,6 +298,7 @@ def render_clustered_pallas(
         vol_vol_samples=cfg.vol_vol_samples,
         vol_surf_samples=cfg.vol_surf_samples,
         short_vrls=cfg.short_vrls,
+        phase_kind=scene.medium.phase_kind,
     )
     li_perm = out.T  # (B_padded, 3)
     # scatter back to pixel order

@@ -183,8 +183,8 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
         # --- medium scattering ---------------------------------------
         p_scatter = ms.p
         factor_med = ms.w_scatter
-        wo_phase, w_phase, _ = ph.sample_hg(
-            med.g, -state["ray_d"], rng.uniform2(k_phase)
+        wo_phase, w_phase, _ = ph.sample_phase(
+            med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
         )
         beta_med = state["beta"] * factor_med * w_phase[..., None]
         tp_med = state["tp"] * factor_med * w_phase[..., None]

@@ -41,6 +41,7 @@ class GridMedium:
     box_max: jax.Array       # (3,)
     scale: jax.Array         # scalar density multiplier
     max_density: jax.Array   # scalar: max(density) * scale (Woodcock bound)
+    phase_kind: int = struct.field(pytree_node=False, default=0)  # phase.HG
 
     @property
     def sigma_s_color(self):
@@ -52,7 +53,8 @@ class GridMedium:
 
 
 def make_grid_medium(density, sigma_t_color, albedo, g=0.0,
-                     box_min=(-1, -1, -1), box_max=(1, 1, 1), scale=1.0):
+                     box_min=(-1, -1, -1), box_max=(1, 1, 1), scale=1.0,
+                     phase_kind=0):
     density = jnp.asarray(density, jnp.float32)
     return GridMedium(
         density=density,
@@ -63,6 +65,7 @@ def make_grid_medium(density, sigma_t_color, albedo, g=0.0,
         box_max=jnp.asarray(box_max, jnp.float32),
         scale=jnp.asarray(scale, jnp.float32),
         max_density=jnp.max(density) * scale,
+        phase_kind=phase_kind,
     )
 
 

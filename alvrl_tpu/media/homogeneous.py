@@ -28,13 +28,15 @@ class HomogeneousMedium:
     sigma_s: jax.Array  # (3,) scattering
     g: jax.Array        # HG mean cosine (scalar); 0 => isotropic
     sampling_weight: jax.Array  # mediumSamplingWeight (scalar)
+    phase_kind: int = struct.field(pytree_node=False, default=0)  # phase.HG
 
     @property
     def sigma_t(self):
         return self.sigma_a + self.sigma_s
 
 
-def make_medium(sigma_a, sigma_s, g=0.0, sampling_weight=None):
+def make_medium(sigma_a, sigma_s, g=0.0, sampling_weight=None,
+                phase_kind=0):
     """Build a medium with the reference's default sampling weight:
     max channel albedo, clamped to >= 0.5 when scattering
     (homogeneous.cpp:168-184)."""
@@ -52,6 +54,7 @@ def make_medium(sigma_a, sigma_s, g=0.0, sampling_weight=None):
         sigma_s=sigma_s,
         g=jnp.asarray(g, jnp.float32),
         sampling_weight=w,
+        phase_kind=phase_kind,
     )
 
 

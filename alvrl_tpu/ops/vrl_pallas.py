@@ -58,6 +58,13 @@ def _hg(g, cos_wi_wo):
     return _INV_FOURPI * (1.0 - g * g) / (temp * jnp.sqrt(temp))
 
 
+def _phase(kind: int, g, cos_wi_wo):
+    """Static phase dispatch (media.phase kinds); compiled to one branch."""
+    if kind == 1:  # RAYLEIGH
+        return (3.0 / (16.0 * np.pi)) * (1.0 + cos_wi_wo * cos_wi_wo)
+    return _hg(g, cos_wi_wo)
+
+
 def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
@@ -109,6 +116,7 @@ def _kernel(
     vol_vol_samples: int,
     vol_surf_samples: int,
     short_vrls: bool,
+    phase_kind: int = 0,
     clustered: bool = False,
 ):
     i = pl.program_id(0)
@@ -390,8 +398,8 @@ def _kernel(
         d_eu = jnp.abs(arc_u)
         d_sv = jnp.abs(arc_v)
         ok = pair_mask & ~blocked & (d_uv2 > 0.0) & (pdf > 0.0)
-        ph_u = _hg(g, -_dot3(vux, vuy, vuz, dx, dy, dz))
-        ph_v = _hg(g, -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz))
+        ph_u = _phase(phase_kind, g, -_dot3(vux, vuy, vuz, dx, dy, dz))
+        ph_v = _phase(phase_kind, g, -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz))
         geo = jnp.where(
             ok, ph_u * ph_v / jnp.maximum(pdf * d_uv2, 1e-30), 0.0
         )
@@ -428,7 +436,7 @@ def _kernel(
             _dot3(ngx, ngy, ngz, -vux, -vuy, -vuz), 0.0
         )
         ok = pair_mask & alb_any & ~blocked & (d_uv2 > 0.0) & (pdf_v > 0.0)
-        ph_v = _hg(g, -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz))
+        ph_v = _phase(phase_kind, g, -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz))
         geo = jnp.where(
             ok,
             ph_v * cos_o * (1.0 / np.pi) / jnp.maximum(pdf_v * d_uv2, 1e-30),
@@ -455,7 +463,8 @@ def _kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("vol_vol_samples", "vol_surf_samples", "short_vrls"),
+    static_argnames=("vol_vol_samples", "vol_surf_samples", "short_vrls",
+                     "phase_kind"),
 )
 def vrl_sum_pallas(
     ray_pack,     # (B, RAY_ROWS) f32, B % 128 == 0
@@ -466,6 +475,7 @@ def vrl_sum_pallas(
     vol_vol_samples: int = 2,
     vol_surf_samples: int = 2,
     short_vrls: bool = True,
+    phase_kind: int = 0,
 ):
     """Returns (3, B) per-ray VRL sums (not particle-normalized)."""
     b = ray_pack.shape[0]
@@ -479,6 +489,7 @@ def vrl_sum_pallas(
         vol_vol_samples=vol_vol_samples,
         vol_surf_samples=vol_surf_samples,
         short_vrls=short_vrls,
+        phase_kind=phase_kind,
     )
     return pl.pallas_call(
         kernel,
@@ -511,7 +522,8 @@ def vrl_sum_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("vol_vol_samples", "vol_surf_samples", "short_vrls"),
+    static_argnames=("vol_vol_samples", "vol_surf_samples", "short_vrls",
+                     "phase_kind"),
 )
 def vrl_sum_pallas_clustered(
     ray_pack,     # (B, RAY_ROWS) f32, B % 128 == 0, rays grouped by slice
@@ -525,6 +537,7 @@ def vrl_sum_pallas_clustered(
     vol_vol_samples: int = 2,
     vol_surf_samples: int = 2,
     short_vrls: bool = True,
+    phase_kind: int = 0,
 ):
     """Clustered VRL gather: each 128-ray tile integrates against its
     slice's (<= 128) representative VRLs, DMA'd by the scalar-prefetched
@@ -543,6 +556,7 @@ def vrl_sum_pallas_clustered(
             vol_vol_samples=vol_vol_samples,
             vol_surf_samples=vol_surf_samples,
             short_vrls=short_vrls,
+            phase_kind=phase_kind,
             clustered=True,
         )
 

@@ -132,23 +132,74 @@ def build_scene(desc: dict) -> Scene:
         parts.append((v, f, name_to_id[sdesc.get("material", "default")]))
     verts, faces, mat_ids = shp.merge(parts)
 
-    # emitters
-    edescs = desc.get("emitters", [])
-    ekinds = [_EM_KINDS[e["type"]] for e in edescs]
+    # emitters (sky/sun/sunsky/envmap expand per src/emitters/: sky and
+    # envmap bake into the importance-sampled EnvMap; sun becomes a
+    # directional emitter with atmosphere-attenuated irradiance)
+    edescs = []
+    env = None
+    for e in desc.get("emitters", []):
+        et = e["type"]
+        if et in ("sky", "sunsky", "envmap"):
+            from alvrl_tpu.emitters import sunsky as ss_mod
+            from alvrl_tpu.emitters.envmap import make_envmap
+
+            if env is not None:
+                raise ValueError("only one environment emitter supported")
+            if et == "envmap":
+                from alvrl_tpu.io import image as img_io
+
+                fn = e["filename"]
+                img = (img_io.read_npy(fn) if fn.endswith(".npy")
+                       else img_io.read_pfm(fn))
+                env = make_envmap(img, scale=e.get("scale", 1.0),
+                                  azimuth_deg=e.get("azimuth", 0.0))
+            else:
+                env = ss_mod.sky_envmap(
+                    e.get("sun_direction", [0.3, 0.8, 0.2]),
+                    turbidity=e.get("turbidity", 3.0),
+                    width=e.get("resolution", 256),
+                    height=e.get("resolution", 256) // 2,
+                    scale=e.get("scale", 1.0),
+                    with_sun=(et == "sunsky"),
+                    sun_scale=e.get("sun_scale", 1.0),
+                )
+            edescs.append({"type": "_envmap"})
+        if et in ("sun", "sunsky"):
+            from alvrl_tpu.emitters import sunsky as ss_mod
+
+            if et == "sun":  # sunsky's disk is baked into the map
+                sd = e.get("sun_direction", [0.3, 0.8, 0.2])
+                rad = ss_mod.sun_rgb_radiance(
+                    sd, e.get("turbidity", 3.0), e.get("sun_scale", 1.0)
+                )
+                sd = np.asarray(sd, np.float64)
+                edescs.append({
+                    "type": "directional",
+                    "direction": list(-sd / np.linalg.norm(sd)),
+                    "intensity": list(rad * ss_mod.SUN_SOLID_ANGLE),
+                })
+        elif et not in ("sky", "envmap"):
+            edescs.append(e)
+    _EK = dict(_EM_KINDS, _envmap=em_mod.ENVMAP)
+    ekinds = [_EK[e["type"]] for e in edescs]
     epos = [e.get("position", [0, 0, 0]) for e in edescs]
     eint = [e.get("intensity", e.get("irradiance", [1, 1, 1])) for e in edescs]
     edir = [e.get("direction", [0, 0, 1]) for e in edescs]
     ecut = [e.get("cutoff", 20.0) for e in edescs]
     ebeam = [e.get("beam", 15.0) for e in edescs]
-    emitters = em_mod.make_emitters(ekinds, epos, eint, edir, ecut, ebeam)
+    emitters = em_mod.make_emitters(ekinds, epos, eint, edir, ecut, ebeam,
+                                    env=env)
 
     # medium
     mdesc = desc.get("medium", {"type": "homogeneous",
                                 "sigma_s": [0.5] * 3, "sigma_a": [0.05] * 3})
+    phase_kind = {"hg": 0, "isotropic": 0, "rayleigh": 1}[
+        mdesc.get("phase", "hg")
+    ]
     if mdesc["type"] == "homogeneous":
         medium = make_medium(
             mdesc.get("sigma_a", [0.0] * 3), mdesc.get("sigma_s", [0.5] * 3),
-            g=mdesc.get("g", 0.0),
+            g=mdesc.get("g", 0.0), phase_kind=phase_kind,
         )
     elif mdesc["type"] == "grid":
         if "density_npy" in mdesc:
@@ -160,7 +211,7 @@ def build_scene(desc: dict) -> Scene:
             mdesc.get("albedo", [0.9] * 3), g=mdesc.get("g", 0.0),
             box_min=mdesc.get("box_min", (-1, -1, -1)),
             box_max=mdesc.get("box_max", (1, 1, 1)),
-            scale=mdesc.get("scale", 1.0),
+            scale=mdesc.get("scale", 1.0), phase_kind=phase_kind,
         )
     else:
         raise ValueError(f"unknown medium type {mdesc['type']}")
@@ -277,8 +328,11 @@ def convert_mitsuba_xml(path, defines=None) -> dict:
                 "sigma_a": props.get("sigmaA", [0.0] * 3),
             }
             phase = node.find("phase")
-            if phase is not None and phase.get("type") == "hg":
-                desc["medium"]["g"] = get_props(phase).get("g", 0.0)
+            if phase is not None:
+                pt = phase.get("type")
+                desc["medium"]["phase"] = pt
+                if pt == "hg":
+                    desc["medium"]["g"] = get_props(phase).get("g", 0.0)
         elif node.tag == "bsdf":
             bt = node.get("type")
             if bt not in _MAT_KINDS:
