@@ -28,14 +28,13 @@ import jax.numpy as jnp
 from flax import struct
 
 from alvrl_tpu.core import math as m
-from alvrl_tpu.core import rng, warp
+from alvrl_tpu.core import rng
 from alvrl_tpu.film import film as film_mod
 from alvrl_tpu.geometry import intersect
 from alvrl_tpu.integrators.vrl.integrate import eval_transmittance_between
 from alvrl_tpu.media import api as mapi
 from alvrl_tpu.media import phase as ph
-from alvrl_tpu.integrators.vrl.specular import specular_bounce
-from alvrl_tpu.scene.scene import DIELECTRIC, DIFFUSE, MIRROR, NULL, Scene
+from alvrl_tpu.scene.scene import Scene
 from alvrl_tpu.sensors import perspective
 
 
@@ -166,12 +165,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
 
         # ---------------- surface vertex -----------------------------
         tp_surf_pre = state["throughput"] * ms.w_pass
-        from alvrl_tpu.textures.procedural import albedo_at
-
         mat_id = scene.material[jnp.maximum(hit.prim, 0)]
-        kind = scene.materials.kind[mat_id]
-        albedo = albedo_at(scene, mat_id, hit_p)
-        is_diffuse = kind == DIFFUSE
 
         # emitted radiance on a direct hit of an area emitter: counted
         # only at depth 1 (after any scattering the query drops emission,
@@ -189,16 +183,25 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         )
 
         # luminaire sampling at the surface (smooth BSDFs only)
+        from alvrl_tpu.bsdf import api as bsdf_api
         from alvrl_tpu.integrators.vrl.integrate import bsdf_eval_smooth
-        from alvrl_tpu.scene.scene import ROUGH_CONDUCTOR, ROUGH_PLASTIC
 
-        is_rough = (kind == ROUGH_CONDUCTOR) | (kind == ROUGH_PLASTIC)
         nee_dir_s, nee_val_s = _nee_point_light(scene, k_nee, hit_p)
         bsdf_val = bsdf_eval_smooth(
             scene, mat_id, hit.ng, -state["ray_d"], nee_dir_s,
             p_world=hit_p,
         )
-        nee_ok_surf = is_diffuse | is_rough
+        # BSDF sampling through the central material dispatch (delta
+        # lobes draw from the same key tree; k_spec is retired)
+        smp = bsdf_api.sample(
+            scene, k_bsdf, mat_id, hit.ng, hit.ng_raw, state["ray_d"],
+            hit_p, mode="radiance",
+        )
+        del k_spec
+        wo_bsdf, w_bsdf = smp.wo, smp.weight
+        is_delta, is_smooth = smp.is_delta, smp.is_smooth
+
+        nee_ok_surf = is_smooth
         if cfg.only_vrl_paths:
             nee_ok_surf = nee_ok_surf & state["first_ok"] & state["second_ok"]
         li_surf = jnp.where(
@@ -207,55 +210,14 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             0.0,
         )
 
-        # BSDF sampling: diffuse cosine lobe or a delta lobe
-        local = warp.square_to_cosine_hemisphere(rng.uniform2(k_bsdf))
-        s_f, t_f = m.build_frame(hit.ng)
-        wo_diffuse = m.frame_to_world(s_f, t_f, hit.ng, local)
-        wo_spec, w_spec, eta_ratio, is_delta = specular_bounce(
-            scene, k_spec, mat_id, state["ray_d"], hit.ng_raw
-        )
-        # rough lobes: GGX half-vector sampling (radiance transport)
-        from alvrl_tpu.bsdf import microfacet as mf
-
-        alpha_m = scene.materials.alpha[mat_id]
-        s2_f, t2_f = m.build_frame(hit.ng)
-        wi_l = m.frame_to_local(s2_f, t2_f, hit.ng, -state["ray_d"])
-        wo_l, w_rough, _ = mf.sample_rough_conductor(
-            rng.uniform2(k_bsdf), wi_l, alpha_m, albedo
-        )
-        wo_rough = m.frame_to_world(s2_f, t2_f, hit.ng, wo_l)
-        # plastic adds the diffuse base through the same estimator by
-        # mixing: reuse conductor lobe sampling; eval-based weight keeps
-        # it consistent for the conductor case; plastic continuation
-        # falls back to cosine sampling of the full eval.
-        w_plastic = bsdf_eval_smooth(
-            scene, mat_id, hit.ng, -state["ray_d"], wo_diffuse,
-            p_world=hit_p,
-        ) * jnp.pi / jnp.maximum(
-            m.dot(hit.ng, wo_diffuse), 1e-6
-        )[..., None]
-
-        is_rc = kind == ROUGH_CONDUCTOR
-        is_rp = kind == ROUGH_PLASTIC
-        wo_bsdf = jnp.where(
-            is_diffuse[..., None], wo_diffuse,
-            jnp.where(is_rc[..., None], wo_rough,
-                      jnp.where(is_rp[..., None], wo_diffuse, wo_spec)),
-        )
-        w_bsdf = jnp.where(
-            is_diffuse[..., None], albedo,
-            jnp.where(is_rc[..., None], w_rough,
-                      jnp.where(is_rp[..., None], w_plastic, w_spec)),
-        )
+        eta_ratio = smp.eta_ratio
         tp_surf_cont = tp_surf_pre * w_bsdf
         surf_continue = (
-            surface_event & (is_diffuse | is_rough | is_delta)
-            & ~jnp.all(w_bsdf == 0.0)
+            surface_event & smp.valid & ~jnp.all(w_bsdf == 0.0)
         )
 
         first_ok_surf = state["first_ok"] | (
-            jnp.bool_(cfg.vrl_vol_to_surf) & (depth == 1)
-            & (is_diffuse | is_rough)
+            jnp.bool_(cfg.vrl_vol_to_surf) & (depth == 1) & is_smooth
         )
 
         # ---------------- merge --------------------------------------
@@ -285,7 +247,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             medium_event, True, jnp.where(surface_event, False, state["prev_volume"])
         )
         prev_diffuse = jnp.where(
-            surface_event, is_diffuse | is_rough,
+            surface_event, is_smooth,
             jnp.where(medium_event, False, state["prev_diffuse"]),
         )
 

@@ -180,35 +180,12 @@ def bsdf_eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
     vrlIntegrator.cpp:758-761). Delta kinds evaluate to 0.
 
     wi_world points away from the surface toward the eye; wo_world
-    toward the light/V. Diffuse: albedo/pi * cos. Rough conductor /
-    plastic: GGX microfacet (alvrl_tpu.bsdf.microfacet)."""
-    from alvrl_tpu.bsdf import microfacet as mf
-    from alvrl_tpu.scene.scene import ROUGH_CONDUCTOR, ROUGH_PLASTIC
+    toward the light/V. Delegates to the central material-table
+    dispatch (alvrl_tpu.bsdf.api.eval_smooth)."""
+    from alvrl_tpu.bsdf import api as bsdf_api
 
-    from alvrl_tpu.textures.procedural import albedo_at
-
-    kind = scene.materials.kind[mat_id]
-    albedo = (
-        scene.materials.albedo[mat_id] if p_world is None
-        else albedo_at(scene, mat_id, p_world)
-    )
-    alpha = scene.materials.alpha[mat_id]
-    cos_o = jnp.maximum(m.dot(ng, wo_world), 0.0)
-    f_diffuse = albedo * (cos_o / jnp.pi)[..., None]
-
-    s_f, t_f = m.build_frame(ng)
-    wi_l = m.frame_to_local(s_f, t_f, ng, wi_world)
-    wo_l = m.frame_to_local(s_f, t_f, ng, wo_world)
-    f_cond = mf.eval_rough_conductor(wi_l, wo_l, alpha, albedo)
-    f_plastic = mf.eval_rough_plastic(wi_l, wo_l, alpha, albedo)
-
-    return jnp.where(
-        (kind == DIFFUSE)[..., None], f_diffuse,
-        jnp.where(
-            (kind == ROUGH_CONDUCTOR)[..., None], f_cond,
-            jnp.where((kind == ROUGH_PLASTIC)[..., None], f_plastic, 0.0),
-        ),
-    )
+    return bsdf_api.eval_smooth(scene, mat_id, ng, wi_world, wo_world,
+                                p_world=p_world)
 
 
 def pair_contribution(

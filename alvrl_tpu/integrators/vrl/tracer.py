@@ -29,12 +29,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from alvrl_tpu.core import math as m
-from alvrl_tpu.core import rng, warp
+from alvrl_tpu.core import rng
 from alvrl_tpu.geometry import intersect
 from alvrl_tpu.integrators.vrl.vrl import VRLs
 from alvrl_tpu.media import api as mapi
 from alvrl_tpu.media import phase as ph
-from alvrl_tpu.scene.scene import DIELECTRIC, DIFFUSE, MIRROR, NULL, Scene
+from alvrl_tpu.scene.scene import Scene
 
 
 @struct.dataclass
@@ -56,67 +56,16 @@ def _sample_emission(scene: Scene, key):
 
 
 def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi, p):
-    """Sample the BSDF at a surface hit in importance-transport mode.
-
-    Diffuse: cosine hemisphere around the oriented normal, weight =
-    albedo (diffuse.cpp; mode-independent for Lambert).
-    Null: pass straight through with weight 1 (null.cpp, delta).
-    Mirror: reflect, weight = tint. Dielectric: Fresnel-sampled lobe; in
-    EImportance mode refraction carries NO 1/eta^2 factor
-    (dielectric.cpp: the factor applies only to ERadiance).
+    """Sample the BSDF at a surface hit in importance-transport mode
+    (EImportance: dielectric refraction carries NO 1/eta^2 factor —
+    dielectric.cpp applies it to ERadiance only). Thin wrapper over the
+    central material dispatch (alvrl_tpu.bsdf.api.sample).
     Returns (wo_world, weight(3,), eta_ratio, valid)."""
-    from alvrl_tpu.integrators.vrl.specular import specular_bounce
+    from alvrl_tpu.bsdf import api as bsdf_api
 
-    from alvrl_tpu.textures.procedural import albedo_at
-
-    kind = scene.materials.kind[mat_id]
-    albedo = albedo_at(scene, mat_id, p)
-    k_d, k_s = jax.random.split(key)
-    local = warp.square_to_cosine_hemisphere(rng.uniform2(k_d))
-    s, t = m.build_frame(ng)
-    wo_diffuse = m.frame_to_world(s, t, ng, local)
-    wo_spec, w_spec, eta_ratio, is_delta = specular_bounce(
-        scene, k_s, mat_id, wi, ng_raw
-    )
-    # strip the radiance-only 1/eta^2 refraction factor for importance
-    # transport: weight is the tint alone on every delta lobe
-    w_spec_imp = jnp.where(
-        (kind == DIELECTRIC)[..., None],
-        jnp.where(jnp.abs(eta_ratio - 1.0)[..., None] > 1e-6,
-                  jnp.ones_like(albedo), w_spec),
-        w_spec,
-    )
-    from alvrl_tpu.bsdf import microfacet as mf
-    from alvrl_tpu.integrators.vrl.integrate import bsdf_eval_smooth
-    from alvrl_tpu.scene.scene import ROUGH_CONDUCTOR, ROUGH_PLASTIC
-
-    is_diffuse = kind == DIFFUSE
-    is_rc = kind == ROUGH_CONDUCTOR
-    is_rp = kind == ROUGH_PLASTIC
-    alpha_m = scene.materials.alpha[mat_id]
-    wi_l = m.frame_to_local(s, t, ng, -wi)
-    wo_l, w_rough, _ = mf.sample_rough_conductor(
-        rng.uniform2(k_d), wi_l, alpha_m, albedo
-    )
-    wo_rough = m.frame_to_world(s, t, ng, wo_l)
-    cos_d = jnp.maximum(m.dot(ng, wo_diffuse), 1e-6)
-    w_plastic = bsdf_eval_smooth(
-        scene, mat_id, ng, -wi, wo_diffuse, p_world=p
-    ) * (jnp.pi / cos_d)[..., None]
-
-    wo = jnp.where(
-        is_diffuse[..., None], wo_diffuse,
-        jnp.where(is_rc[..., None], wo_rough,
-                  jnp.where(is_rp[..., None], wo_diffuse, wo_spec)),
-    )
-    weight = jnp.where(
-        is_diffuse[..., None], albedo,
-        jnp.where(is_rc[..., None], w_rough,
-                  jnp.where(is_rp[..., None], w_plastic, w_spec_imp)),
-    )
-    eta_out = jnp.where(is_diffuse | is_rc | is_rp, 1.0, eta_ratio)
-    valid = is_diffuse | is_rc | is_rp | is_delta
-    return wo, weight, eta_out, valid
+    s = bsdf_api.sample(scene, key, mat_id, ng, ng_raw, wi, p,
+                        mode="importance")
+    return s.wo, s.weight, s.eta_ratio, s.valid
 
 
 from functools import partial

@@ -41,15 +41,21 @@ from alvrl_tpu.media.heterogeneous import make_grid_medium
 from alvrl_tpu.media.homogeneous import make_medium
 from alvrl_tpu.scene.scene import (
     DIELECTRIC,
+    DIFFTRANS,
     DIFFUSE,
+    MASK,
     MIRROR,
+    MIXTURE,
     NULL,
     ORTHOGRAPHIC,
     PERSPECTIVE,
+    PHONG,
+    PLASTIC,
     ROUGH_CONDUCTOR,
     ROUGH_PLASTIC,
     SPHERICAL,
     THINLENS,
+    WARD,
     Camera,
     Scene,
     look_at,
@@ -58,9 +64,12 @@ from alvrl_tpu.scene.scene import (
 
 _MAT_KINDS = {
     "diffuse": DIFFUSE, "null": NULL, "mirror": MIRROR,
-    "conductor": MIRROR, "dielectric": DIELECTRIC, "twosided": DIFFUSE,
+    "conductor": MIRROR, "dielectric": DIELECTRIC,
+    "thindielectric": DIELECTRIC, "twosided": DIFFUSE,
     "roughconductor": ROUGH_CONDUCTOR, "roughplastic": ROUGH_PLASTIC,
-    "plastic": ROUGH_PLASTIC, "phong": ROUGH_PLASTIC,
+    "plastic": PLASTIC, "phong": PHONG, "ward": WARD,
+    "difftrans": DIFFTRANS, "mask": MASK, "mixturebsdf": MIXTURE,
+    "blendbsdf": MIXTURE, "mixture": MIXTURE,
 }
 _CAM_KINDS = {
     "perspective": PERSPECTIVE, "thinlens": THINLENS,
@@ -93,14 +102,30 @@ def build_scene(desc: dict) -> Scene:
     mats = desc.get("materials", [{"name": "default", "type": "diffuse",
                                    "albedo": [0.5, 0.5, 0.5]}])
     name_to_id = {}
-    kinds, albedos, etas, alphas = [], [], [], []
     for i, mdesc in enumerate(mats):
         name_to_id[mdesc.get("name", f"mat{i}")] = i
+    kinds, albedos, etas, alphas = [], [], [], []
+    speculars, exponents, alpha_vs, opacities = [], [], [], []
+    nesteds, nested2s = [], []
+    for i, mdesc in enumerate(mats):
         kinds.append(_MAT_KINDS[mdesc["type"]])
         albedos.append(mdesc.get("albedo", [1.0, 1.0, 1.0]))
         etas.append(mdesc.get("eta", 1.0))
         alphas.append(mdesc.get("alpha", 0.1))
-    materials = make_materials(kinds, albedos, etas, alphas)
+        speculars.append(mdesc.get("specular", [0.2] * 3))
+        exponents.append(mdesc.get("exponent", 30.0))
+        alpha_vs.append(mdesc.get("alpha_v", mdesc.get("alpha", 0.1)))
+        # mask opacity / mixture first-lobe weight
+        opacities.append(mdesc.get("opacity", mdesc.get("weight", 1.0)))
+        nesteds.append(name_to_id[mdesc["nested"]]
+                       if "nested" in mdesc else 0)
+        nested2s.append(name_to_id[mdesc["nested2"]]
+                        if "nested2" in mdesc else 0)
+    materials = make_materials(
+        kinds, albedos, etas, alphas,
+        specular=speculars, exponent=exponents, alpha_v=alpha_vs,
+        opacity=opacities, nested=nesteds, nested2=nested2s,
+    )
 
     # shapes
     parts = []

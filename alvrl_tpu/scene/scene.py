@@ -21,12 +21,19 @@ from alvrl_tpu.emitters.emitters import Emitters
 from alvrl_tpu.media.homogeneous import HomogeneousMedium
 
 # Material kinds (BSDF plugin equivalents, src/bsdfs/)
-DIFFUSE = 0   # smooth Lambertian (diffuse.cpp)
+DIFFUSE = 0   # smooth Lambertian (diffuse.cpp; twosided.cpp is implied —
+              # shading frames orient toward the incident ray)
 NULL = 1      # transparent boundary enclosing media (null.cpp)
 MIRROR = 2    # ideal specular conductor (conductor.cpp, delta)
 DIELECTRIC = 3  # smooth dielectric (dielectric.cpp, delta)
 ROUGH_CONDUCTOR = 4  # GGX microfacet conductor (roughconductor.cpp)
 ROUGH_PLASTIC = 5    # GGX coat over Lambertian (roughplastic.cpp)
+PHONG = 6     # modified Phong: diffuse + cos^n lobe (phong.cpp)
+WARD = 7      # anisotropic Ward gaussian (ward.cpp 'balanced')
+DIFFTRANS = 8 # diffuse transmission (difftrans.cpp)
+PLASTIC = 9   # smooth dielectric coat over Lambert (plastic.cpp)
+MASK = 10     # opacity mask over a nested BSDF (mask.cpp)
+MIXTURE = 11  # two-component convex mixture (mixturebsdf/blendbsdf.cpp)
 
 
 @struct.dataclass
@@ -34,23 +41,33 @@ class Materials:
     kind: jax.Array      # (M,) int32
     albedo: jax.Array    # (M, 3) diffuse reflectance / specular tint / F0
     eta: jax.Array       # (M,) ior for dielectrics (1.0 otherwise)
-    alpha: jax.Array     # (M,) GGX roughness for rough kinds
+    alpha: jax.Array     # (M,) GGX/Ward-u roughness for rough kinds
     tex_kind: jax.Array  # (M,) texture kind (textures.procedural.TEX_*)
     tex_scale: jax.Array # (M,) texture frequency in world units
     albedo2: jax.Array   # (M, 3) secondary color for textured materials
+    specular: jax.Array  # (M, 3) phong/ward specular reflectance
+    exponent: jax.Array  # (M,) phong exponent
+    alpha_v: jax.Array   # (M,) ward second-axis roughness
+    opacity: jax.Array   # (M,) mask opacity / mixture first-lobe weight
+    nested: jax.Array    # (M,) int32: nested material id (mask/mixture);
+                         # nesting depth 1, leaf kinds only
+    nested2: jax.Array   # (M,) int32: mixture second nested id
 
 
 def make_materials(kinds, albedos, etas=None, alphas=None,
-                   tex_kinds=None, tex_scales=None, albedo2=None):
+                   tex_kinds=None, tex_scales=None, albedo2=None,
+                   specular=None, exponent=None, alpha_v=None,
+                   opacity=None, nested=None, nested2=None):
     kinds = jnp.asarray(kinds, jnp.int32).reshape(-1)
     n = kinds.shape[0]
+    alphas_a = jnp.asarray(
+        alphas if alphas is not None else [0.1] * n, jnp.float32)
     return Materials(
         kind=kinds,
         albedo=jnp.asarray(albedos, jnp.float32).reshape(n, 3),
         eta=jnp.asarray(
             etas if etas is not None else [1.0] * n, jnp.float32),
-        alpha=jnp.asarray(
-            alphas if alphas is not None else [0.1] * n, jnp.float32),
+        alpha=alphas_a,
         tex_kind=jnp.asarray(
             tex_kinds if tex_kinds is not None else [0] * n, jnp.int32),
         tex_scale=jnp.asarray(
@@ -58,6 +75,19 @@ def make_materials(kinds, albedos, etas=None, alphas=None,
         albedo2=jnp.asarray(
             albedo2 if albedo2 is not None else [[0.0] * 3] * n,
             jnp.float32).reshape(n, 3),
+        specular=jnp.asarray(
+            specular if specular is not None else [[0.2] * 3] * n,
+            jnp.float32).reshape(n, 3),
+        exponent=jnp.asarray(
+            exponent if exponent is not None else [30.0] * n, jnp.float32),
+        alpha_v=(jnp.asarray(alpha_v, jnp.float32)
+                 if alpha_v is not None else alphas_a),
+        opacity=jnp.asarray(
+            opacity if opacity is not None else [1.0] * n, jnp.float32),
+        nested=jnp.asarray(
+            nested if nested is not None else [0] * n, jnp.int32),
+        nested2=jnp.asarray(
+            nested2 if nested2 is not None else [0] * n, jnp.int32),
     )
 
 
