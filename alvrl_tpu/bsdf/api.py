@@ -122,19 +122,32 @@ class BSDFSample(NamedTuple):
     valid: jax.Array      # bool: sample usable (a recognized lobe)
 
 
+N_SAMPLE_DIMS = 5  # uniforms consumed by sample_from_uniforms
+
+
 def sample(scene: Scene, key, mat_id, ng, ng_raw, d_in, p_world,
            mode: str = "radiance") -> BSDFSample:
     """Sample the BSDF at a surface hit. ng is the oriented shading
     normal, ng_raw the winding normal (delta refraction needs it),
     d_in the incoming ray direction (pointing AT the surface)."""
+    u = rng.uniform(
+        key, jnp.shape(scene.materials.kind[mat_id]) + (N_SAMPLE_DIMS,)
+    )
+    return sample_from_uniforms(scene, u, mat_id, ng, ng_raw, d_in,
+                                p_world, mode=mode)
+
+
+def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
+                         p_world, mode: str = "radiance") -> BSDFSample:
+    """Explicit-uniform BSDF sampling (u: (..., N_SAMPLE_DIMS)) — the
+    primary-sample-space entry point (pssmlt owns and mutates u)."""
     from alvrl_tpu.integrators.vrl.specular import specular_bounce
 
     mats = scene.materials
-    k_sel, k_a, k_b, k_spec = jax.random.split(key, 4)
 
     # ---- wrapper resolution (one nesting level) ----------------------
     kind0 = mats.kind[mat_id]
-    u_sel = rng.uniform(k_sel, jnp.shape(kind0))
+    u_sel = u[..., 0]
     opac = mats.opacity[mat_id]
     is_mask = kind0 == MASK
     is_mix = kind0 == MIXTURE
@@ -150,10 +163,8 @@ def sample(scene: Scene, key, mat_id, ng, ng_raw, d_in, p_world,
 
     s_f, t_f = m.build_frame(ng)
     wi_l = m.frame_to_local(s_f, t_f, ng, -d_in)
-    u2 = rng.uniform2(k_a)
-    u3 = jnp.concatenate([rng.uniform(k_b, jnp.shape(kind0) + (1,)), u2],
-                         axis=-1) if jnp.ndim(kind0) else jnp.concatenate(
-        [rng.uniform(k_b)[None], u2])
+    u2 = u[..., 1:3]
+    u3 = jnp.concatenate([u[..., 3:4], u2], axis=-1)
 
     # ---- leaf candidates ---------------------------------------------
     wo_diffuse_l = warp.square_to_cosine_hemisphere(u2)
@@ -180,7 +191,7 @@ def sample(scene: Scene, key, mat_id, ng, ng_raw, d_in, p_world,
 
     # delta kinds (mirror/null/dielectric) in world space
     wo_spec, w_spec, eta_ratio_d, is_delta_kind = specular_bounce(
-        scene, k_spec, eff, d_in, ng_raw
+        scene, u[..., 4], eff, d_in, ng_raw
     )
     if mode == "importance":
         # strip the radiance-only 1/eta^2 refraction factor

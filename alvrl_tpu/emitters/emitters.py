@@ -229,8 +229,19 @@ def sample_emission(em: Emitters, key, scene_center, scene_radius):
 def nee(em: Emitters, key, p, scene_radius):
     """Direct sampling toward the emitters from point p.
     Returns (direction (3,), unattenuated value (3,), distance)."""
-    k_sel, k_uv = jax.random.split(key)
-    idx = jax.random.choice(k_sel, em.pmf.shape[0], p=em.pmf)
+    u3 = rng.uniform(key, (3,))
+    return nee_u(em, u3, p, scene_radius)
+
+
+def nee_u(em: Emitters, u3, p, scene_radius):
+    """Explicit-uniform NEE (u3: (3,) = emitter select + 2D) — the
+    primary-sample-space entry point (pssmlt owns the uniforms)."""
+    cdf = jnp.cumsum(em.pmf)
+    idx = jnp.clip(
+        jnp.searchsorted(cdf, u3[0] * cdf[-1], side="left"),
+        0, em.pmf.shape[0] - 1,
+    )
+    uv = u3[1:3]
     kind = em.kind[idx]
     inten = em.intensity[idx] / em.pmf[idx]
 
@@ -248,7 +259,6 @@ def nee(em: Emitters, key, p, scene_radius):
 
     # area: uniform point on the triangle, pdf 1/A in area measure;
     # value = L * cos(face) * A / r^2 (solid-angle conversion)
-    uv = rng.uniform2(k_uv)
     su = jnp.sqrt(jnp.clip(uv[..., 0], 1e-9, 1.0))
     b0 = 1.0 - su
     b1 = uv[..., 1] * su
@@ -264,12 +274,12 @@ def nee(em: Emitters, key, p, scene_radius):
 
     # constant env NEE: uniform-sphere direction, value = L / pdf
     # = L * 4 pi (MIS-free single-strategy estimator)
-    d_env = warp.square_to_uniform_sphere(rng.uniform2(k_uv))
+    d_env = warp.square_to_uniform_sphere(uv)
     v_env = inten * (4.0 * jnp.pi)
     dist_env = 2.5 * scene_radius
 
     # envmap NEE: importance-sample the map; value = L(d)/pdf(d)
-    d_map, pdf_map, l_map = sample_env(em.env, rng.uniform2(k_uv))
+    d_map, pdf_map, l_map = sample_env(em.env, uv)
     v_map = l_map / (jnp.maximum(pdf_map, 1e-30)[..., None] * em.pmf[idx])
 
     is_dir = kind == DIRECTIONAL

@@ -49,11 +49,13 @@ def fresnel_dielectric(cos_i, eta):
     return jnp.where(tir, 1.0, f), cos_t
 
 
-def specular_bounce(scene: Scene, key, mat_id, d_in, ng_raw):
+def specular_bounce(scene: Scene, u, mat_id, d_in, ng_raw):
     """Sample the delta continuation at a surface.
 
-    Returns (wo, weight (3,), eta_ratio, is_delta). ng_raw is the
-    winding normal (not flipped); d_in the incoming ray direction."""
+    `u` is the lobe-selection uniform (explicit so primary-sample-space
+    integrators can own it). Returns (wo, weight (3,), eta_ratio,
+    is_delta). ng_raw is the winding normal (not flipped); d_in the
+    incoming ray direction."""
     kind = scene.materials.kind[mat_id]
     tint = scene.materials.albedo[mat_id]
     eta_mat = scene.materials.eta[mat_id]
@@ -66,7 +68,6 @@ def specular_bounce(scene: Scene, key, mat_id, d_in, ng_raw):
     wo_mirror = d_in + 2.0 * cos_i[..., None] * n
 
     f, cos_t = fresnel_dielectric(cos_i, eta)
-    u = rng.uniform(key, jnp.shape(cos_i))
     reflect = u < f
     inv_eta = 1.0 / jnp.maximum(eta, 1e-6)
     wo_refract = (
@@ -129,7 +130,8 @@ def li_specular_chain(
 
         mat_id = hit.mat
         wo, w_bsdf, eta_ratio, is_delta = specular_bounce(
-            scene, rng.fold(k_step, 1), mat_id, d, hit.ng_raw
+            scene, rng.uniform(rng.fold(k_step, 1), (b,)), mat_id, d,
+            hit.ng_raw,
         )
         tau = mapi.transmittance(scene.medium, o, hit.p)
         twes2 = twes * tau * w_bsdf * (eta_ratio * eta_ratio)[..., None]

@@ -68,19 +68,37 @@ def sample_distance_seg(med, key, ray_o, ray_d, dist_surf) -> DistanceSample:
     Scalar-lane version (vmap externally for grid media)."""
     if is_homogeneous(med):
         ms = hmed.sample_distance(med, key, dist_surf)
-        p = ray_o + ms.t[..., None] * ray_d  # position carries dt/dsigma
-        w_scatter = ms.transmittance * ms.sigma_s / jnp.maximum(
-            ms.pdf_success, 1e-30
-        )[..., None]
-        w_pass = ms.transmittance / jnp.maximum(ms.pdf_failure, 1e-30)[..., None]
-        return DistanceSample(
-            success=ms.success, t=ms.t, p=p,
-            w_scatter=w_scatter, w_pass=w_pass,
-        )
+        return _homog_to_distance_sample(ms, ray_o, ray_d)
     gs = gmed.sample_distance(med, key, ray_o, ray_d, dist_surf)
     w_scatter = jnp.where(gs.success, gs.weight, 0.0)
     w_pass = jnp.where(gs.success, 0.0, gs.weight)
     return DistanceSample(
         success=gs.success, t=gs.t, p=gs.p,
+        w_scatter=w_scatter, w_pass=w_pass,
+    )
+
+
+def sample_distance_seg_u(med, u2, ray_o, ray_d, dist_surf) -> DistanceSample:
+    """Explicit-uniform free-flight sampling (primary-sample-space
+    integrators own the uniforms). Homogeneous media only: Woodcock
+    tracking consumes a data-dependent number of uniforms and has no
+    fixed-dimension primary-sample mapping."""
+    if not is_homogeneous(med):
+        raise NotImplementedError(
+            "primary-sample-space distance sampling requires a "
+            "homogeneous medium (delta tracking has unbounded dims)"
+        )
+    ms = hmed.sample_distance_u(med, u2, dist_surf)
+    return _homog_to_distance_sample(ms, ray_o, ray_d)
+
+
+def _homog_to_distance_sample(ms, ray_o, ray_d) -> DistanceSample:
+    p = ray_o + ms.t[..., None] * ray_d  # position carries dt/dsigma
+    w_scatter = ms.transmittance * ms.sigma_s / jnp.maximum(
+        ms.pdf_success, 1e-30
+    )[..., None]
+    w_pass = ms.transmittance / jnp.maximum(ms.pdf_failure, 1e-30)[..., None]
+    return DistanceSample(
+        success=ms.success, t=ms.t, p=p,
         w_scatter=w_scatter, w_pass=w_pass,
     )

@@ -103,13 +103,20 @@ def sample_distance(med: HomogeneousMedium, key, dist_surf):
     estimators).
     """
     k1, k2 = jax.random.split(key)
-    u = rng.uniform(k1, jnp.shape(dist_surf))
+    u2 = jnp.stack([rng.uniform(k1, jnp.shape(dist_surf)),
+                    rng.uniform(k2, jnp.shape(dist_surf))], axis=-1)
+    return sample_distance_u(med, u2, dist_surf)
+
+
+def sample_distance_u(med: HomogeneousMedium, u2, dist_surf):
+    """Explicit-uniform variant of sample_distance (u2: (..., 2)) — the
+    entry point for primary-sample-space integrators (pssmlt), which
+    must own the uniforms to mutate them."""
+    u = u2[..., 0]
     w = med.sampling_weight
     take_medium = u < w
     u_resc = jnp.where(take_medium, u / jnp.maximum(w, 1e-20), 0.0)
-    channel = jnp.minimum(
-        (rng.uniform(k2, jnp.shape(dist_surf)) * 3).astype(jnp.int32), 2
-    )
+    channel = jnp.minimum((u2[..., 1] * 3).astype(jnp.int32), 2)
     density = jnp.maximum(med.sigma_t[channel], 1e-20)
     sampled = -jnp.log1p(-jnp.minimum(u_resc, 1.0 - 1e-7)) / density
     sampled = jax.lax.stop_gradient(sampled)

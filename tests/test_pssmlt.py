@@ -1,0 +1,63 @@
+"""PSSMLT tests: mutation kernel, primary-sample determinism, and the
+Metropolis estimate against the volpath reference image (the reference
+validates pssmlt the same way: same scene, independent integrator)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alvrl_tpu.integrators import pssmlt, volpath
+from alvrl_tpu.scene import presets
+
+
+def test_kelemen_mutation_in_unit_cube():
+    cfg = pssmlt.PSSMLTConfig()
+    u = jax.random.uniform(jax.random.key(0), (64,))
+    for i in range(5):
+        u = pssmlt._kelemen_mutate(u, jax.random.key(i + 1), cfg)
+        arr = np.asarray(u)
+        assert ((arr >= 0) & (arr < 1)).all()
+    # small steps stay small on average
+    u0 = jax.random.uniform(jax.random.key(9), (512,))
+    u1 = pssmlt._kelemen_mutate(u0, jax.random.key(10), cfg)
+    d = np.abs(np.asarray(u1 - u0))
+    d = np.minimum(d, 1.0 - d)  # wrapped distance
+    assert d.mean() < 2.0 * cfg.s2
+
+
+def test_li_from_uniforms_deterministic():
+    scene = presets.cornell_smoke(width=8, height=8)
+    cfg = pssmlt.PSSMLTConfig(max_depth=4)
+    u = jax.random.uniform(jax.random.key(3), (pssmlt.n_dims(cfg),))
+    f = jax.jit(lambda uu: pssmlt.li_from_uniforms(scene, uu, cfg),
+                static_argnums=())
+    px1, py1, li1 = f(u)
+    px2, py2, li2 = f(u)
+    assert np.allclose(np.asarray(li1), np.asarray(li2))
+    assert np.isfinite(np.asarray(li1)).all()
+
+
+def test_pssmlt_matches_volpath_mean():
+    """The Metropolis estimate must agree with the plain path tracer on
+    the image mean (both estimate the same integral)."""
+    scene = presets.cornell_smoke(width=8, height=8)
+    cfg = pssmlt.PSSMLTConfig(max_depth=6, n_chains=128, n_mutations=192)
+    img_mlt = np.asarray(pssmlt.render_pssmlt(scene, jax.random.key(1),
+                                              cfg))
+    assert np.isfinite(img_mlt).all()
+    img_ref = np.asarray(volpath.render_volpath(
+        scene, jax.random.key(2), spp=48,
+        cfg=volpath.VolpathConfig(max_depth=6, only_vrl_paths=False),
+        ray_tile=64,
+    ))
+    mean_mlt = img_mlt.mean()
+    mean_ref = img_ref.mean()
+    assert mean_mlt > 0
+    # Metropolis normalization b carries most of the mean: tolerate
+    # combined chain + reference noise
+    assert abs(mean_mlt - mean_ref) / mean_ref < 0.25, (mean_mlt, mean_ref)
+    # spatial correlation: bright/dark structure should agree
+    a = img_mlt.mean(axis=-1).reshape(-1)
+    b = img_ref.mean(axis=-1).reshape(-1)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.7, corr
