@@ -113,6 +113,67 @@ def eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
     )
 
 
+def _leaf_pdf_local(scene: Scene, mat_id, wi_l, wo_l):
+    """Solid-angle pdf of `sample`'s smooth lobe for a *leaf* kind
+    (the measure MIS weights need; delta kinds -> 0)."""
+    mats = scene.materials
+    kind = mats.kind[mat_id]
+    alpha = mats.alpha[mat_id]
+    albedo = mats.albedo[mat_id]
+    cos_o = jnp.maximum(wo_l[..., 2], 0.0)
+
+    pdf_cos = cos_o / jnp.pi  # diffuse + rough-plastic + plastic base
+    pdf_ggx = mf.pdf_rough_conductor(wi_l, wo_l, alpha)
+    pdf_ph = lobes.pdf_phong(wi_l, wo_l, albedo, mats.specular[mat_id],
+                             mats.exponent[mat_id])
+    pdf_wd = lobes.pdf_ward(wi_l, wo_l, albedo, mats.specular[mat_id],
+                            alpha, mats.alpha_v[mat_id])
+    pdf_dt = jnp.where((wi_l[..., 2] * wo_l[..., 2]) < 0,
+                       jnp.abs(wo_l[..., 2]) / jnp.pi, 0.0)
+    # smooth plastic: diffuse lobe chosen with prob (1 - F_i)
+    fi = lobes.fresnel_dielectric_scalar(wi_l[..., 2], mats.eta[mat_id])
+    pdf_pl = (1.0 - fi) * pdf_cos
+
+    return jnp.where(
+        kind == DIFFUSE, pdf_cos,
+        jnp.where(
+            kind == ROUGH_CONDUCTOR, pdf_ggx,
+            jnp.where(
+                kind == ROUGH_PLASTIC, pdf_cos,
+                jnp.where(
+                    kind == PHONG, pdf_ph,
+                    jnp.where(
+                        kind == WARD, pdf_wd,
+                        jnp.where(kind == DIFFTRANS, pdf_dt,
+                                  jnp.where(kind == PLASTIC, pdf_pl, 0.0)),
+                    ),
+                ),
+            ),
+        ),
+    )
+
+
+def pdf_smooth(scene: Scene, mat_id, ng, wi_world, wo_world):
+    """Solid-angle pdf that `sample` generates wo given wi over the
+    smooth lobes (BSDF::pdf with ESmooth measure) — the quantity
+    bidirectional MIS weights need. Wrapper kinds mix nested pdfs by
+    their selection probabilities."""
+    mats = scene.materials
+    s_f, t_f = m.build_frame(ng)
+    wi_l = m.frame_to_local(s_f, t_f, ng, wi_world)
+    wo_l = m.frame_to_local(s_f, t_f, ng, wo_world)
+
+    kind = mats.kind[mat_id]
+    p_leaf = _leaf_pdf_local(scene, mat_id, wi_l, wo_l)
+    p_n1 = _leaf_pdf_local(scene, mats.nested[mat_id], wi_l, wo_l)
+    p_n2 = _leaf_pdf_local(scene, mats.nested2[mat_id], wi_l, wo_l)
+    w = mats.opacity[mat_id]
+    return jnp.where(
+        kind == MASK, w * p_n1,
+        jnp.where(kind == MIXTURE, w * p_n1 + (1.0 - w) * p_n2, p_leaf),
+    )
+
+
 class BSDFSample(NamedTuple):
     wo: jax.Array         # (..., 3) world outgoing direction
     weight: jax.Array     # (..., 3) throughput factor f*cos/pdf (or tint)
