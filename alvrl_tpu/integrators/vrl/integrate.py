@@ -44,6 +44,12 @@ class VRLConfig:
     vol_surf_samples: int = struct.field(pytree_node=False, default=2)
     short_vrls: bool = struct.field(pytree_node=False, default=True)
     vrl_chunk: int = struct.field(pytree_node=False, default=128)
+    # grid-medium quadrature steps for the per-sample U<->V segment
+    # (the only fresh tau once the eye/VRL cumulative-OD tables exist;
+    # these segments are short — importance sampling concentrates them
+    # near the eye ray — so 8 midpoint steps suffice; None = global
+    # N_TAU_STEPS)
+    uv_tau_steps: int = struct.field(pytree_node=False, default=8)
 
 
 # ---------------------------------------------------------------------------
@@ -158,14 +164,21 @@ def sample_v_to_distance(eye_o, eye_d, eye_hit, vrl_s, vrl_e, u):
 # Transmittance between two points (Scene::evalTransmittance semantics).
 # ---------------------------------------------------------------------------
 
-def eval_transmittance_between(scene: Scene, p0, p1):
+def eval_transmittance_between(scene: Scene, p0, p1, n_tau_steps=None):
     """tau between two mutually visible points; 0 if an opaque surface
     blocks the open segment (scene.cpp:619-679 with a single global
-    medium; null-BSDF boundaries don't block)."""
+    medium; null-BSDF boundaries don't block). n_tau_steps overrides the
+    grid-medium quadrature step count (short segments need fewer)."""
     blocked = intersect.occluded(
         p0, p1, scene.vertices, scene.faces, scene.opaque_faces()
     )
-    tau = mapi.transmittance(scene.medium, p0, p1)
+    if n_tau_steps is not None and not mapi.is_homogeneous(scene.medium):
+        from alvrl_tpu.media import heterogeneous as gmed
+
+        tau = gmed.eval_transmittance(scene.medium, p0, p1,
+                                      n_steps=n_tau_steps)
+    else:
+        tau = mapi.transmittance(scene.medium, p0, p1)
     return jnp.where(blocked[..., None], 0.0, tau)
 
 
@@ -257,7 +270,8 @@ def pair_contribution(
         d_uv = m.distance(u_pt, v)
         vu = m.normalize(u_pt - v)
 
-        tau_uv = eval_transmittance_between(scene, u_pt, v)
+        tau_uv = eval_transmittance_between(scene, u_pt, v,
+                                            n_tau_steps=cfg.uv_tau_steps)
         if use_tables:
             tau_eu = tau_eye_at(u_pt)
             tau_sv, pdf_fail_sv = eval_sv_at(v)
@@ -281,7 +295,8 @@ def pair_contribution(
         d_uv = m.distance(hit_p, v)
         vu = m.normalize(hit_p - v)
 
-        tau_uv = eval_transmittance_between(scene, hit_p, v)
+        tau_uv = eval_transmittance_between(scene, hit_p, v,
+                                            n_tau_steps=cfg.uv_tau_steps)
         if use_tables:
             tau_sv, pdf_fail_sv = eval_sv_at(v)
         else:

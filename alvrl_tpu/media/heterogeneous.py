@@ -42,6 +42,20 @@ class GridMedium:
     scale: jax.Array         # scalar density multiplier
     max_density: jax.Array   # scalar: max(density) * scale (Woodcock bound)
     phase_kind: int = struct.field(pytree_node=False, default=0)  # phase.HG
+    # Quadrature lookups use nearest-neighbor reads of a 2x trilinearly
+    # supersampled grid (1 gather/sample instead of 8 corner gathers) —
+    # the TPU render path is gather-bound; measured OD error vs full
+    # trilinear is <1% on smooth fields (tests). Set False for exact
+    # trilinear quadrature.
+    fast_tau: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def density_ss(self):
+        """2x supersampled density (exact trilinear at half-steps),
+        shape (2Z-1, 2Y-1, 2X-1). Computed lazily from `density` with
+        jnp ops so voxel gradients flow; XLA hoists it out of the
+        per-sample loops (loop-invariant)."""
+        return _upsample2(self.density)
 
     @property
     def sigma_s_color(self):
@@ -67,6 +81,52 @@ def make_grid_medium(density, sigma_t_color, albedo, g=0.0,
         max_density=jnp.max(density) * scale,
         phase_kind=phase_kind,
     )
+
+
+def _up1(a, axis):
+    """Insert midpoints along one axis: n -> 2n-1 (exact trilinear)."""
+    n = a.shape[axis]
+    lo = jax.lax.slice_in_dim(a, 0, n - 1, axis=axis)
+    hi = jax.lax.slice_in_dim(a, 1, n, axis=axis)
+    mid = 0.5 * (lo + hi)
+    inter = jnp.stack([lo, mid], axis=axis + 1)
+    new_shape = list(a.shape)
+    new_shape[axis] = 2 * (n - 1)
+    inter = inter.reshape(new_shape)
+    last = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+    return jnp.concatenate([inter, last], axis=axis)
+
+
+def _upsample2(d):
+    """(Z, Y, X) -> (2Z-1, 2Y-1, 2X-1) trilinear supersample."""
+    return _up1(_up1(_up1(d, 0), 1), 2)
+
+
+def lookup_density_nn(med: GridMedium, p):
+    """Nearest lookup in the 2x supersampled grid — equals trilinear
+    interpolation evaluated at the nearest half-cell point (max position
+    error 1/4 voxel per axis). ONE gather per sample point vs 8 for
+    trilinear: the quadrature fast path on gather-bound TPUs."""
+    dz, dy, dx = med.density.shape
+    ss = med.density_ss
+    extent = med.box_max - med.box_min
+    q = (p - med.box_min) / extent
+    inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+    ix = jnp.clip(jnp.round(q[..., 0] * (2 * (dx - 1))).astype(jnp.int32),
+                  0, 2 * dx - 2)
+    iy = jnp.clip(jnp.round(q[..., 1] * (2 * (dy - 1))).astype(jnp.int32),
+                  0, 2 * dy - 2)
+    iz = jnp.clip(jnp.round(q[..., 2] * (2 * (dz - 1))).astype(jnp.int32),
+                  0, 2 * dz - 2)
+    d = ss[iz, iy, ix]
+    return jnp.where(inside, d * med.scale, 0.0)
+
+
+def _lookup_quad(med: GridMedium, p):
+    """Density lookup used by the deterministic tau quadratures."""
+    if med.fast_tau:
+        return lookup_density_nn(med, p)
+    return lookup_density(med, p)
 
 
 def lookup_density(med: GridMedium, p):
@@ -127,7 +187,7 @@ def optical_depth(med: GridMedium, p0, p1, n_steps=N_TAU_STEPS):
 
     def body(i, acc):
         t = (i.astype(jnp.float32) + 0.5) / n_steps
-        return acc + lookup_density(med, p0 + t * delta)
+        return acc + _lookup_quad(med, p0 + t * delta)
 
     total = jax.lax.fori_loop(
         0, n_steps, body, jnp.zeros(jnp.shape(dist), jnp.float32)
@@ -146,7 +206,7 @@ def cumulative_od(med: GridMedium, p0, p1, n_steps=N_TAU_STEPS):
 
     def body(i, acc):
         t = (i.astype(jnp.float32) + 0.5) / n_steps
-        d = lookup_density(med, p0 + t * delta)
+        d = _lookup_quad(med, p0 + t * delta)
         return acc.at[..., i + 1].set(acc[..., i] + d)
 
     cum = jnp.zeros(jnp.shape(dist) + (n_steps + 1,), jnp.float32)
@@ -165,9 +225,9 @@ def interp_od(cum, frac, n_steps=N_TAU_STEPS):
     return c0 * (1.0 - w) + c1 * w
 
 
-def eval_transmittance(med: GridMedium, p0, p1):
+def eval_transmittance(med: GridMedium, p0, p1, n_steps=N_TAU_STEPS):
     """Spectral tau = exp(-sigma_t_color * int density)."""
-    od = optical_depth(med, p0, p1)
+    od = optical_depth(med, p0, p1, n_steps=n_steps)
     return jnp.exp(-med.sigma_t_color * od[..., None])
 
 
