@@ -22,6 +22,13 @@ from flax import struct
 from alvrl_tpu.core import rng
 
 
+# distance-sampling strategies (homogeneous.cpp:149-226)
+BALANCE = 0   # random RGB channel, averaged pdfs (the default)
+SINGLE = 1    # one fixed channel's sigma_t as the sampling density
+MANUAL = 2    # user-chosen sampling density
+MAXIMUM = 3   # max over channels of sigma_t
+
+
 @struct.dataclass
 class HomogeneousMedium:
     sigma_a: jax.Array  # (3,) absorption
@@ -29,14 +36,30 @@ class HomogeneousMedium:
     g: jax.Array        # HG mean cosine (scalar); 0 => isotropic
     sampling_weight: jax.Array  # mediumSamplingWeight (scalar)
     phase_kind: int = struct.field(pytree_node=False, default=0)  # phase.HG
+    strategy: int = struct.field(pytree_node=False, default=0)  # BALANCE
+    channel: int = struct.field(pytree_node=False, default=0)   # SINGLE
+    density: jax.Array = None  # MANUAL sampling density (scalar)
+
+    def __post_init__(self):
+        if self.density is None:
+            object.__setattr__(self, "density", jnp.float32(1.0))
 
     @property
     def sigma_t(self):
         return self.sigma_a + self.sigma_s
 
+    @property
+    def sampling_density(self):
+        """The scalar exponential rate of the non-balance strategies."""
+        if self.strategy == SINGLE:
+            return jnp.maximum(self.sigma_t[self.channel], 1e-20)
+        if self.strategy == MANUAL:
+            return jnp.maximum(self.density, 1e-20)
+        return jnp.maximum(jnp.max(self.sigma_t), 1e-20)  # MAXIMUM
+
 
 def make_medium(sigma_a, sigma_s, g=0.0, sampling_weight=None,
-                phase_kind=0):
+                phase_kind=0, strategy=0, channel=0, density=1.0):
     """Build a medium with the reference's default sampling weight:
     max channel albedo, clamped to >= 0.5 when scattering
     (homogeneous.cpp:168-184)."""
@@ -55,6 +78,9 @@ def make_medium(sigma_a, sigma_s, g=0.0, sampling_weight=None,
         g=jnp.asarray(g, jnp.float32),
         sampling_weight=w,
         phase_kind=phase_kind,
+        strategy=strategy,
+        channel=channel,
+        density=jnp.asarray(density, jnp.float32),
     )
 
 
@@ -81,6 +107,16 @@ def _pdfs_balance(med: HomogeneousMedium, dist):
     pdf_failure = jnp.mean(e, axis=-1)
     pdf_success = jnp.mean(med.sigma_t * e, axis=-1)
     return pdf_success, pdf_failure
+
+
+def _pdfs(med: HomogeneousMedium, dist):
+    """Strategy dispatch for the free-flight pdfs. Single/manual/maximum
+    sample one exponential rate (homogeneous.cpp:275-352)."""
+    if med.strategy == BALANCE:
+        return _pdfs_balance(med, dist)
+    rho = med.sampling_density
+    e = jnp.exp(-rho * dist)
+    return rho * e, e
 
 
 def sample_distance(med: HomogeneousMedium, key, dist_surf):
@@ -116,8 +152,11 @@ def sample_distance_u(med: HomogeneousMedium, u2, dist_surf):
     w = med.sampling_weight
     take_medium = u < w
     u_resc = jnp.where(take_medium, u / jnp.maximum(w, 1e-20), 0.0)
-    channel = jnp.minimum((u2[..., 1] * 3).astype(jnp.int32), 2)
-    density = jnp.maximum(med.sigma_t[channel], 1e-20)
+    if med.strategy == BALANCE:
+        channel = jnp.minimum((u2[..., 1] * 3).astype(jnp.int32), 2)
+        density = jnp.maximum(med.sigma_t[channel], 1e-20)
+    else:
+        density = med.sampling_density
     sampled = -jnp.log1p(-jnp.minimum(u_resc, 1.0 - 1e-7)) / density
     sampled = jax.lax.stop_gradient(sampled)
     # Large-finite sentinel, not inf (finite reverse-mode residuals).
@@ -128,7 +167,7 @@ def sample_distance_u(med: HomogeneousMedium, u2, dist_surf):
     success = sampled < dist_surf
     d_eff = jnp.where(success, sampled, dist_surf)
 
-    pdf_success, pdf_failure = _pdfs_balance(med, d_eff)
+    pdf_success, pdf_failure = _pdfs(med, d_eff)
     transmittance = jnp.exp(-med.sigma_t * d_eff[..., None])
     pdf_success = pdf_success * w
     pdf_failure = w * pdf_failure + (1.0 - w)
@@ -159,7 +198,7 @@ def eval_ray(med: HomogeneousMedium, dist):
     tau(S->V), tau(V->U), tau(U->E) factors and the short-VRL
     pdfFailure division.
     """
-    pdf_success, pdf_failure = _pdfs_balance(med, dist)
+    pdf_success, pdf_failure = _pdfs(med, dist)
     transmittance = jnp.exp(-med.sigma_t * dist[..., None])
     pdf_success = pdf_success * med.sampling_weight
     pdf_failure = med.sampling_weight * pdf_failure + (1.0 - med.sampling_weight)

@@ -222,9 +222,14 @@ def build_scene(desc: dict) -> Scene:
         mdesc.get("phase", "hg")
     ]
     if mdesc["type"] == "homogeneous":
+        strat = {"balance": 0, "single": 1, "manual": 2, "maximum": 3}[
+            mdesc.get("strategy", "balance")
+        ]
         medium = make_medium(
             mdesc.get("sigma_a", [0.0] * 3), mdesc.get("sigma_s", [0.5] * 3),
             g=mdesc.get("g", 0.0), phase_kind=phase_kind,
+            strategy=strat, channel=mdesc.get("channel", 0),
+            density=mdesc.get("density", 1.0),
         )
     elif mdesc["type"] == "grid":
         if "density_npy" in mdesc:

@@ -122,3 +122,42 @@ def test_medium_gradients():
     g = jax.grad(loss)(sa)
     expected = -2.0 * np.exp(-np.asarray(sa + 0.5) * 2.0)
     np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-4)
+
+
+def test_sampling_strategy_identities():
+    """Every distance-sampling strategy (balance/single/manual/maximum,
+    homogeneous.cpp:149-226) must satisfy the estimator identities:
+    E[1{fail}/pdfFailure] = 1 over the pass branch and
+    E[1{success} * tau*sigma_s/pdfSuccess] = integral tau sigma_s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alvrl_tpu.media import homogeneous as hm
+
+    sigma_a = [0.08, 0.05, 0.02]
+    sigma_s = [0.5, 0.7, 0.3]
+    dist = jnp.float32(2.0)
+    n = 60000
+    for kw in [dict(strategy=hm.BALANCE), dict(strategy=hm.SINGLE, channel=1),
+               dict(strategy=hm.MANUAL, density=0.9),
+               dict(strategy=hm.MAXIMUM)]:
+        med = hm.make_medium(sigma_a, sigma_s, **kw)
+        keys = jax.random.split(jax.random.key(7), n)
+        ms = jax.vmap(lambda k: hm.sample_distance(med, k, dist))(keys)
+        # pass identity
+        est_fail = np.asarray(
+            jnp.where(~ms.success, 1.0 / jnp.maximum(ms.pdf_failure, 1e-30),
+                      0.0)
+        ).mean()
+        assert abs(est_fail - 1.0) < 0.02, (kw, est_fail)
+        # scatter identity: E[tau*sigma_s/pdfSuccess over successes]
+        # = integral_0^dist tau(t) sigma_s dt (per channel)
+        w = np.asarray(
+            jnp.where(ms.success[:, None],
+                      ms.transmittance * med.sigma_s
+                      / jnp.maximum(ms.pdf_success, 1e-30)[:, None], 0.0)
+        ).mean(axis=0)
+        st = np.asarray(med.sigma_t)
+        ref = np.asarray(med.sigma_s) / st * (1.0 - np.exp(-st * 2.0))
+        assert np.allclose(w, ref, rtol=0.03), (kw, w, ref)
