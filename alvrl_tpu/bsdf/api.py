@@ -87,7 +87,7 @@ def _leaf_eval_local(scene: Scene, mat_id, wi_l, wo_l, albedo):
 
 
 def eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
-                p_world=None):
+                p_world=None, uv=None):
     """BSDF eval * cos(theta_o) of the smooth (ESmooth) components —
     the reference's bsdf->eval(bRec) with ESmooth-only measure
     (vrlIntegrator.cpp:758-761). Resolves MASK/MIXTURE wrappers."""
@@ -98,7 +98,7 @@ def eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
 
     def leaf(mid):
         alb = (mats.albedo[mid] if p_world is None
-               else albedo_at(scene, mid, p_world))
+               else albedo_at(scene, mid, p_world, uv=uv))
         return _leaf_eval_local(scene, mid, wi_l, wo_l, alb)
 
     kind = mats.kind[mat_id]
@@ -187,7 +187,7 @@ N_SAMPLE_DIMS = 5  # uniforms consumed by sample_from_uniforms
 
 
 def sample(scene: Scene, key, mat_id, ng, ng_raw, d_in, p_world,
-           mode: str = "radiance") -> BSDFSample:
+           mode: str = "radiance", uv=None) -> BSDFSample:
     """Sample the BSDF at a surface hit. ng is the oriented shading
     normal, ng_raw the winding normal (delta refraction needs it),
     d_in the incoming ray direction (pointing AT the surface)."""
@@ -195,11 +195,12 @@ def sample(scene: Scene, key, mat_id, ng, ng_raw, d_in, p_world,
         key, jnp.shape(scene.materials.kind[mat_id]) + (N_SAMPLE_DIMS,)
     )
     return sample_from_uniforms(scene, u, mat_id, ng, ng_raw, d_in,
-                                p_world, mode=mode)
+                                p_world, mode=mode, uv=uv)
 
 
 def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
-                         p_world, mode: str = "radiance") -> BSDFSample:
+                         p_world, mode: str = "radiance",
+                         uv=None) -> BSDFSample:
     """Explicit-uniform BSDF sampling (u: (..., N_SAMPLE_DIMS)) — the
     primary-sample-space entry point (pssmlt owns and mutates u)."""
     from alvrl_tpu.integrators.vrl.specular import specular_bounce
@@ -219,7 +220,7 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
                   jnp.where(is_mix, mats.nested2[mat_id], mat_id)),
     )
     kind = mats.kind[eff]
-    albedo = albedo_at(scene, eff, p_world)
+    albedo = albedo_at(scene, eff, p_world, uv=uv)
     alpha = mats.alpha[eff]
 
     s_f, t_f = m.build_frame(ng)

@@ -100,17 +100,60 @@ def scale(x, y=None, z=None):
     return s
 
 
+def auto_uvs(kind: str, v, f, center=None):
+    """Per-face-corner texture coordinates (F, 3, 2) for the analytic
+    shapes, computed from CANONICAL (pre-to_world) vertices — the UV
+    parameterizations of src/shapes/{rectangle,cube,sphere}.cpp:
+      * rectangle: (x, y) in [-1,1]^2 -> [0,1]^2;
+      * cube: dominant-axis box projection per face;
+      * sphere: equirectangular (phi/2pi, theta/pi) about `center`.
+    Unknown kinds get zeros (untextured)."""
+    v = np.asarray(v, np.float32)
+    f = np.asarray(f, np.int32)
+    corners = v[f]  # (F, 3, 3)
+    if kind == "rectangle":
+        return ((corners[..., :2] + 1.0) * 0.5).astype(np.float32)
+    if kind == "cube":
+        n = np.cross(corners[:, 1] - corners[:, 0],
+                     corners[:, 2] - corners[:, 0])
+        axis = np.argmax(np.abs(n), axis=-1)  # (F,)
+        uv = np.zeros((len(f), 3, 2), np.float32)
+        for a, (i0, i1) in enumerate([(1, 2), (0, 2), (0, 1)]):
+            sel = axis == a
+            uv[sel] = (corners[sel][..., [i0, i1]] + 1.0) * 0.5
+        return uv
+    if kind == "sphere":
+        c = np.zeros(3, np.float32) if center is None else np.asarray(
+            center, np.float32)
+        d = corners - c
+        d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        theta = np.arccos(np.clip(d[..., 2], -1, 1))
+        phi = np.arctan2(d[..., 1], d[..., 0])
+        u = (phi / (2 * np.pi) + 0.5)
+        # avoid the seam jump inside one triangle: rebase to corner 0
+        u = u - np.round(u - u[:, :1])
+        return np.stack([u, theta / np.pi], axis=-1).astype(np.float32)
+    return np.zeros((len(f), 3, 2), np.float32)
+
+
 def merge(parts):
-    """Merge [(verts, faces, material_id), ...] into one soup."""
-    all_v, all_f, all_m = [], [], []
+    """Merge [(verts, faces, material_id[, face_uv]), ...] into one
+    soup. Returns (verts, faces, mats, face_uvs (T, 3, 2))."""
+    all_v, all_f, all_m, all_uv = [], [], [], []
     off = 0
-    for v, f, mat in parts:
+    for part in parts:
+        v, f, mat = part[0], part[1], part[2]
+        uv = part[3] if len(part) > 3 and part[3] is not None else (
+            np.zeros((len(f), 3, 2), np.float32)
+        )
         all_v.append(v)
         all_f.append(f + off)
         all_m.append(np.full((len(f),), mat, dtype=np.int32))
+        all_uv.append(np.asarray(uv, np.float32))
         off += len(v)
     return (
         np.concatenate(all_v, axis=0),
         np.concatenate(all_f, axis=0),
         np.concatenate(all_m, axis=0),
+        np.concatenate(all_uv, axis=0),
     )

@@ -185,17 +185,19 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         # luminaire sampling at the surface (smooth BSDFs only)
         from alvrl_tpu.bsdf import api as bsdf_api
         from alvrl_tpu.integrators.vrl.integrate import bsdf_eval_smooth
+        from alvrl_tpu.textures.procedural import interp_uv
 
+        uv_tex = interp_uv(scene.face_uv, hit.prim, hit.uv)
         nee_dir_s, nee_val_s = _nee_point_light(scene, k_nee, hit_p)
         bsdf_val = bsdf_eval_smooth(
             scene, mat_id, hit.ng, -state["ray_d"], nee_dir_s,
-            p_world=hit_p,
+            p_world=hit_p, uv=uv_tex,
         )
         # BSDF sampling through the central material dispatch (delta
         # lobes draw from the same key tree; k_spec is retired)
         smp = bsdf_api.sample(
             scene, k_bsdf, mat_id, hit.ng, hit.ng_raw, state["ray_d"],
-            hit_p, mode="radiance",
+            hit_p, mode="radiance", uv=uv_tex,
         )
         del k_spec
         wo_bsdf, w_bsdf = smp.wo, smp.weight

@@ -187,7 +187,7 @@ def eval_transmittance_between(scene: Scene, p0, p1, n_tau_steps=None):
 # ---------------------------------------------------------------------------
 
 def bsdf_eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
-                     p_world=None):
+                     p_world=None, uv=None):
     """BSDF eval * cos(theta_o) for the smooth (ESmooth) components —
     the vol-surf factor at U (bsdf->eval(bRec),
     vrlIntegrator.cpp:758-761). Delta kinds evaluate to 0.
@@ -198,7 +198,7 @@ def bsdf_eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
     from alvrl_tpu.bsdf import api as bsdf_api
 
     return bsdf_api.eval_smooth(scene, mat_id, ng, wi_world, wo_world,
-                                p_world=p_world)
+                                p_world=p_world, uv=uv)
 
 
 def pair_contribution(

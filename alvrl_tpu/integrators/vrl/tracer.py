@@ -55,7 +55,8 @@ def _sample_emission(scene: Scene, key):
     return em_mod.sample_emission(scene.emitters, key, center, radius)
 
 
-def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi, p):
+def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi, p,
+                            uv=None):
     """Sample the BSDF at a surface hit in importance-transport mode
     (EImportance: dielectric refraction carries NO 1/eta^2 factor —
     dielectric.cpp applies it to ERadiance only). Thin wrapper over the
@@ -64,7 +65,7 @@ def _sample_bsdf_importance(scene: Scene, key, mat_id, ng, ng_raw, wi, p):
     from alvrl_tpu.bsdf import api as bsdf_api
 
     s = bsdf_api.sample(scene, key, mat_id, ng, ng_raw, wi, p,
-                        mode="importance")
+                        mode="importance", uv=uv)
     return s.wo, s.weight, s.eta_ratio, s.valid
 
 
@@ -148,8 +149,12 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
         # --- surface scattering --------------------------------------
         factor_surf = ms.w_pass
         mat_id = scene.material[jnp.maximum(hit.prim, 0)]
+        from alvrl_tpu.textures.procedural import interp_uv
+
+        uv_tex = interp_uv(scene.face_uv, hit.prim, hit.uv)
         wo_bsdf, w_bsdf, eta_ratio, bsdf_valid = _sample_bsdf_importance(
-            scene, k_bsdf, mat_id, hit.ng, hit.ng_raw, state["ray_d"], hit.p
+            scene, k_bsdf, mat_id, hit.ng, hit.ng_raw, state["ray_d"],
+            hit.p, uv=uv_tex,
         )
         beta_surf = state["beta"] * factor_surf * w_bsdf
         tp_surf = state["tp"] * factor_surf * w_bsdf

@@ -14,24 +14,50 @@ import numpy as np
 
 def load_obj(path):
     """Returns (vertices (V,3) f32, faces (F,3) i32)."""
+    v, f, _ = load_obj_uv(path)
+    return v, f
+
+
+def load_obj_uv(path):
+    """OBJ loader carrying texture coordinates: returns (vertices (V,3),
+    faces (F,3) i32, face_uv (F,3,2) f32). `vt` records and f v/vt[/vn]
+    corner indices (obj.cpp texcoord support); faces without vt get
+    zero UVs."""
     verts = []
+    uvs = []
     faces = []
+    face_uv = []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
                 parts = line.split()
                 verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("vt "):
+                parts = line.split()
+                uvs.append([float(parts[1]), float(parts[2])])
             elif line.startswith("f "):
                 idx = []
+                tidx = []
                 for tok in line.split()[1:]:
-                    vi = tok.split("/")[0]
-                    i = int(vi)
+                    comps = tok.split("/")
+                    i = int(comps[0])
                     idx.append(i - 1 if i > 0 else len(verts) + i)
+                    if len(comps) > 1 and comps[1]:
+                        ti = int(comps[1])
+                        tidx.append(ti - 1 if ti > 0 else len(uvs) + ti)
+                    else:
+                        tidx.append(-1)
                 for k in range(1, len(idx) - 1):  # fan-triangulate
                     faces.append([idx[0], idx[k], idx[k + 1]])
+                    corner_t = [tidx[0], tidx[k], tidx[k + 1]]
+                    face_uv.append([
+                        uvs[t] if 0 <= t < len(uvs) else [0.0, 0.0]
+                        for t in corner_t
+                    ])
     return (
         np.asarray(verts, np.float32),
         np.asarray(faces, np.int32).reshape(-1, 3),
+        np.asarray(face_uv, np.float32).reshape(-1, 3, 2),
     )
 
 

@@ -107,6 +107,10 @@ def build_scene(desc: dict) -> Scene:
     kinds, albedos, etas, alphas = [], [], [], []
     speculars, exponents, alpha_vs, opacities = [], [], [], []
     nesteds, nested2s = [], []
+    tex_kinds, tex_scales, albedo2s, tex_ids = [], [], [], []
+    bitmap_imgs = []
+    _TEX_KINDS = {"none": 0, "checker": 1, "grid": 2, "noise": 3,
+                  "bitmap": 4}
     for i, mdesc in enumerate(mats):
         kinds.append(_MAT_KINDS[mdesc["type"]])
         albedos.append(mdesc.get("albedo", [1.0, 1.0, 1.0]))
@@ -121,31 +125,76 @@ def build_scene(desc: dict) -> Scene:
                        if "nested" in mdesc else 0)
         nested2s.append(name_to_id[mdesc["nested2"]]
                         if "nested2" in mdesc else 0)
+        tdesc = mdesc.get("texture")
+        if tdesc is None:
+            tex_kinds.append(0)
+            tex_scales.append(1.0)
+            albedo2s.append([0.0] * 3)
+            tex_ids.append(0)
+        else:
+            tex_kinds.append(_TEX_KINDS[tdesc["type"]])
+            tex_scales.append(tdesc.get("scale", 1.0))
+            albedo2s.append(tdesc.get("albedo2", [0.0] * 3))
+            if tdesc["type"] == "bitmap":
+                from alvrl_tpu.io import image as img_io
+
+                fn = tdesc["filename"]
+                img = np.asarray(
+                    img_io.read_npy(fn) if fn.endswith(".npy")
+                    else img_io.read_pfm(fn), np.float32,
+                )
+                if img.ndim == 2:
+                    img = img[..., None].repeat(3, axis=-1)
+                tex_ids.append(len(bitmap_imgs))
+                bitmap_imgs.append(img)
+            else:
+                tex_ids.append(0)
     materials = make_materials(
         kinds, albedos, etas, alphas,
+        tex_kinds=tex_kinds, tex_scales=tex_scales, albedo2=albedo2s,
         specular=speculars, exponent=exponents, alpha_v=alpha_vs,
         opacity=opacities, nested=nesteds, nested2=nested2s,
+        tex_id=tex_ids,
     )
+    if bitmap_imgs:
+        shapes_set = {im.shape[:2] for im in bitmap_imgs}
+        if len(shapes_set) > 1:
+            raise ValueError(
+                "all bitmap textures in one scene must share a "
+                f"resolution (got {sorted(shapes_set)}): the texture "
+                "stack is a single (K, H, W, 3) array"
+            )
+        textures = np.stack(bitmap_imgs).astype(np.float32)
+    else:
+        textures = np.zeros((1, 1, 1, 3), np.float32)
 
-    # shapes
+    # shapes (UVs: analytic parameterizations for rectangle/cube/sphere,
+    # vt records for OBJ; PLY untextured for now)
     parts = []
     for sdesc in desc.get("shapes", []):
         st = sdesc["type"]
         tw = sdesc.get("to_world")
         tw = np.asarray(tw, np.float32) if tw is not None else None
+        face_uv = None
         if st == "rectangle":
-            v, f = shp.rectangle(tw)
+            v0, f = shp.rectangle()
+            face_uv = shp.auto_uvs("rectangle", v0, f)
+            v = shp.apply_transform(tw, v0) if tw is not None else v0
         elif st == "cube":
-            v, f = shp.cube(tw, flip_normals=sdesc.get("flip_normals", False))
+            v0, f = shp.cube(flip_normals=sdesc.get("flip_normals", False))
+            face_uv = shp.auto_uvs("cube", v0, f)
+            v = shp.apply_transform(tw, v0) if tw is not None else v0
         elif st == "sphere":
+            center = sdesc.get("center", (0, 0, 0))
             v, f = shp.sphere(
-                sdesc.get("center", (0, 0, 0)), sdesc.get("radius", 1.0),
+                center, sdesc.get("radius", 1.0),
                 n_theta=sdesc.get("n_theta", 16), n_phi=sdesc.get("n_phi", 32),
             )
+            face_uv = shp.auto_uvs("sphere", v, f, center=center)
             if tw is not None:
                 v = shp.apply_transform(tw, v)
         elif st == "obj":
-            v, f = mesh_io.load_obj(sdesc["filename"])
+            v, f, face_uv = mesh_io.load_obj_uv(sdesc["filename"])
             if tw is not None:
                 v = shp.apply_transform(tw, v)
         elif st == "ply":
@@ -154,8 +203,9 @@ def build_scene(desc: dict) -> Scene:
                 v = shp.apply_transform(tw, v)
         else:
             raise ValueError(f"unknown shape type {st}")
-        parts.append((v, f, name_to_id[sdesc.get("material", "default")]))
-    verts, faces, mat_ids = shp.merge(parts)
+        parts.append((v, f, name_to_id[sdesc.get("material", "default")],
+                      face_uv))
+    verts, faces, mat_ids, face_uvs = shp.merge(parts)
 
     # emitters (sky/sun/sunsky/envmap expand per src/emitters/: sky and
     # envmap bake into the importance-sampled EnvMap; sun becomes a
@@ -269,6 +319,8 @@ def build_scene(desc: dict) -> Scene:
         emitters=emitters,
         medium=medium,
         camera=camera,
+        face_uv=jnp.asarray(face_uvs),
+        textures=jnp.asarray(textures),
     )
 
 

@@ -74,7 +74,7 @@ def cornell_smoke(
         )
         parts.append((bv, bf, M_BOX))
 
-    verts, faces, mat = shapes.merge(parts)
+    verts, faces, mat, _ = shapes.merge(parts)
 
     materials = make_materials(
         [DIFFUSE] * 4,

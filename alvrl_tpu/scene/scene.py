@@ -52,12 +52,14 @@ class Materials:
     nested: jax.Array    # (M,) int32: nested material id (mask/mixture);
                          # nesting depth 1, leaf kinds only
     nested2: jax.Array   # (M,) int32: mixture second nested id
+    tex_id: jax.Array = None  # (M,) int32 index into scene.textures
+                              # (used when tex_kind == TEX_BITMAP)
 
 
 def make_materials(kinds, albedos, etas=None, alphas=None,
                    tex_kinds=None, tex_scales=None, albedo2=None,
                    specular=None, exponent=None, alpha_v=None,
-                   opacity=None, nested=None, nested2=None):
+                   opacity=None, nested=None, nested2=None, tex_id=None):
     kinds = jnp.asarray(kinds, jnp.int32).reshape(-1)
     n = kinds.shape[0]
     alphas_a = jnp.asarray(
@@ -88,6 +90,8 @@ def make_materials(kinds, albedos, etas=None, alphas=None,
             nested if nested is not None else [0] * n, jnp.int32),
         nested2=jnp.asarray(
             nested2 if nested2 is not None else [0] * n, jnp.int32),
+        tex_id=jnp.asarray(
+            tex_id if tex_id is not None else [0] * n, jnp.int32),
     )
 
 
@@ -129,12 +133,24 @@ class Scene:
     medium: HomogeneousMedium  # global medium filling the scene
     camera: Camera
     face_emitter: jax.Array = None  # (T,) i32: area-emitter id or -1
+    face_uv: jax.Array = None  # (T, 3, 2) per-corner texture coords
+    textures: jax.Array = None  # (K, H, W, 3) bitmap texture stack
+                                # (equal-size, loader-padded)
 
     def __post_init__(self):
         if self.face_emitter is None:
             object.__setattr__(
                 self, "face_emitter",
                 jnp.full((self.faces.shape[0],), -1, jnp.int32),
+            )
+        if self.face_uv is None:
+            object.__setattr__(
+                self, "face_uv",
+                jnp.zeros((self.faces.shape[0], 3, 2), jnp.float32),
+            )
+        if self.textures is None:
+            object.__setattr__(
+                self, "textures", jnp.zeros((1, 1, 1, 3), jnp.float32)
             )
 
     @property

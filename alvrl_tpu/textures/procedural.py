@@ -1,10 +1,13 @@
-"""Procedural textures modulating surface albedo.
+"""Textures modulating surface albedo: world-space procedural fields
+(checkerboard, gridtexture, value noise) and UV-mapped bitmaps.
 
-Counterpart of src/textures/ (checkerboard, gridtexture, scale, plus a
-value-noise stand-in for bitmap textures — meshes here carry no UVs, so
-textures are parameterized over world position, adequate for the
-benchmark scene family). Evaluated inside the BSDF gathers:
-`albedo_at(scene, mat_id, p)` replaces raw albedo table lookups.
+Counterpart of src/textures/ (checkerboard.cpp, gridtexture.cpp,
+bitmap.cpp). Procedural kinds are parameterized over world position;
+TEX_BITMAP samples the scene's texture stack bilinearly at the
+mesh-interpolated UV (shapes carry per-face-corner UVs: analytic
+parameterizations for rectangle/cube/sphere, `vt` records for OBJ).
+Evaluated inside the BSDF gathers: `albedo_at(scene, mat_id, p, uv)`
+replaces raw albedo table lookups.
 """
 
 from __future__ import annotations
@@ -15,6 +18,42 @@ TEX_NONE = 0
 TEX_CHECKER = 1
 TEX_GRID = 2
 TEX_NOISE = 3
+TEX_BITMAP = 4
+
+
+def interp_uv(face_uv, prim, bary):
+    """Interpolate per-face-corner UVs at a hit: (1-u-v, u, v) weights.
+    face_uv: (T, 3, 2); prim: (...) i32; bary: (..., 2)."""
+    fuv = face_uv[jnp.maximum(prim, 0)]  # (..., 3, 2)
+    u, v = bary[..., 0], bary[..., 1]
+    w0 = (1.0 - u - v)[..., None]
+    return fuv[..., 0, :] * w0 + fuv[..., 1, :] * u[..., None] \
+        + fuv[..., 2, :] * v[..., None]
+
+
+def bitmap_lookup(textures, tex_id, uv):
+    """Bilinear sample of textures[tex_id] at uv in [0,1)^2 (wrapped).
+    textures: (K, H, W, 3); v runs top-down (image rows)."""
+    k, h, w = textures.shape[0], textures.shape[1], textures.shape[2]
+    img = textures[jnp.clip(tex_id, 0, k - 1)]
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0w = jnp.mod(x0, w)
+    x1w = jnp.mod(x0 + 1, w)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    c00 = img[y0c, x0w]
+    c01 = img[y0c, x1w]
+    c10 = img[y1c, x0w]
+    c11 = img[y1c, x1w]
+    return ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+            + (c10 * (1 - fx) + c11 * fx) * fy)
 
 
 def _hash3(ip):
@@ -63,11 +102,12 @@ def grid_lines(p, scale, line_width=0.08):
     return on_line.astype(jnp.float32)
 
 
-def albedo_at(scene, mat_id, p):
-    """Albedo of material `mat_id` at world position p, applying the
-    material's texture (mix between albedo and albedo2 by the texture
-    value). Falls back to the plain table when the scene's materials
-    carry no texture fields (back-compat)."""
+def albedo_at(scene, mat_id, p, uv=None):
+    """Albedo of material `mat_id` at world position p (procedural
+    kinds mix albedo/albedo2 by the texture value); with `uv` given
+    (interp_uv at the hit), TEX_BITMAP materials multiply the base
+    albedo by the bilinear bitmap sample. Falls back to the plain table
+    when the scene's materials carry no texture fields (back-compat)."""
     mats = scene.materials
     base = mats.albedo[mat_id]
     if not hasattr(mats, "tex_kind") or mats.tex_kind is None:
@@ -83,4 +123,12 @@ def albedo_at(scene, mat_id, p):
         jnp.where(kind == TEX_GRID, t_grid,
                   jnp.where(kind == TEX_NOISE, t_noise, 0.0)),
     )
-    return base * (1.0 - t[..., None]) + alb2 * t[..., None]
+    out = base * (1.0 - t[..., None]) + alb2 * t[..., None]
+    if uv is not None and hasattr(scene, "textures"):
+        tex = bitmap_lookup(
+            scene.textures, getattr(mats, "tex_id", None)[mat_id]
+            if getattr(mats, "tex_id", None) is not None else 0,
+            uv * scale[..., None],
+        )
+        out = jnp.where((kind == TEX_BITMAP)[..., None], base * tex, out)
+    return out
