@@ -78,6 +78,40 @@ def sobol2d(n: int, scramble: int = 0):
     return jnp.asarray(np.stack([d0, d1], axis=-1), jnp.float32)
 
 
+def faure(n: int, dims: int = 2, offset: int = 0):
+    """(n, dims) Faure (0, s)-sequence (faure.cpp): all dimensions share
+    one prime base b >= dims; dimension j applies the j-th power of the
+    upper-triangular Pascal matrix (mod b) to the base-b digits before
+    the radical inverse. Host-side numpy (sample tables are built once)."""
+    b = int(PRIMES[np.searchsorted(PRIMES, max(dims, 2))])
+    n_digits = int(np.ceil(np.log(max(n + offset, 2)) / np.log(b))) + 1
+    idx = np.arange(offset, offset + n, dtype=np.int64)
+    digits = np.empty((n_digits, n), np.int64)  # least significant first
+    rem = idx.copy()
+    for k in range(n_digits):
+        digits[k] = rem % b
+        rem //= b
+    # Pascal matrix P[r, c] = C(c, r) mod b (upper triangular)
+    pascal = np.zeros((n_digits, n_digits), np.int64)
+    pascal[0, :] = 1
+    for r in range(1, n_digits):
+        for c in range(r, n_digits):
+            pascal[r, c] = (pascal[r - 1, c - 1] + pascal[r, c - 1]) % b
+    weights = (1.0 / b) ** np.arange(1, n_digits + 1)
+    cols = []
+    d_j = digits
+    for _ in range(dims):
+        cols.append(weights @ (d_j % b))
+        d_j = pascal @ d_j % b
+    return jnp.asarray(np.stack(cols, axis=-1), jnp.float32)
+
+
+def ld2d(n: int, scramble: int = 0):
+    """(n, 2) low-discrepancy (0, 2)-sequence points — the ldsampler
+    plugin (ldsampler.cpp) uses exactly this Sobol-(0,2) pair."""
+    return sobol2d(n, scramble=scramble)
+
+
 def stratified2d(key, nx: int, ny: int):
     """(nx*ny, 2) jittered-grid samples (stratified.cpp)."""
     xs, ys = jnp.meshgrid(jnp.arange(nx), jnp.arange(ny))

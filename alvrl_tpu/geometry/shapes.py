@@ -78,6 +78,154 @@ def sphere(center=(0, 0, 0), radius=1.0, n_theta=16, n_phi=32):
     return v, f
 
 
+def disk(center=(0, 0, 0), radius=1.0, n_phi=48, to_world=None):
+    """Unit disk at z=0, normal +z (disk.cpp), triangle fan."""
+    center = np.asarray(center, np.float32)
+    phis = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    rim = np.stack(
+        [np.cos(phis), np.sin(phis), np.zeros_like(phis)], axis=-1
+    ).astype(np.float32)
+    v = np.concatenate([np.zeros((1, 3), np.float32), rim], axis=0)
+    f = np.asarray(
+        [[0, 1 + j, 1 + (j + 1) % n_phi] for j in range(n_phi)], np.int32
+    )
+    v = v * np.float32(radius) + center
+    if to_world is not None:
+        v = apply_transform(to_world, v)
+    return v, f
+
+
+def cylinder(p0=(0, 0, 0), p1=(0, 0, 1), radius=1.0, n_phi=32,
+             caps=False):
+    """Open cylinder from p0 to p1 (cylinder.cpp; the reference's is
+    capless too). Optional end caps for watertightness."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    axis = p1 - p0
+    length = np.linalg.norm(axis)
+    w = axis / max(length, 1e-12)
+    # build an orthonormal frame around w
+    a = np.array([1.0, 0, 0], np.float32)
+    if abs(w[0]) > 0.9:
+        a = np.array([0, 1.0, 0], np.float32)
+    u = np.cross(a, w)
+    u /= np.linalg.norm(u)
+    vv = np.cross(w, u)
+    phis = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    rim = (np.outer(np.cos(phis), u) + np.outer(np.sin(phis), vv)) * radius
+    bottom = (p0 + rim).astype(np.float32)
+    top = (p1 + rim).astype(np.float32)
+    v = np.concatenate([bottom, top], axis=0)
+    faces = []
+    for j in range(n_phi):
+        jn = (j + 1) % n_phi
+        faces.append([j, jn, n_phi + jn])
+        faces.append([j, n_phi + jn, n_phi + j])
+    if caps:
+        cb = len(v)
+        v = np.concatenate([v, p0[None], p1[None]], axis=0)
+        for j in range(n_phi):
+            jn = (j + 1) % n_phi
+            faces.append([cb, jn, j])
+            faces.append([cb + 1, n_phi + j, n_phi + jn])
+    return v.astype(np.float32), np.asarray(faces, np.int32)
+
+
+def heightfield(heights, x_extent=2.0, y_extent=2.0, to_world=None):
+    """Regular-grid heightfield (heightfield.cpp): heights (Ny, Nx) map
+    to a mesh over [-x_extent/2, x_extent/2] x [-y_extent/2, y_extent/2]
+    with z = heights."""
+    heights = np.asarray(heights, np.float32)
+    ny, nx = heights.shape
+    xs = np.linspace(-x_extent / 2, x_extent / 2, nx, dtype=np.float32)
+    ys = np.linspace(-y_extent / 2, y_extent / 2, ny, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    v = np.stack([gx, gy, heights], axis=-1).reshape(-1, 3)
+    idx = np.arange(nx * ny).reshape(ny, nx)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, :-1].ravel()
+    d = idx[1:, 1:].ravel()
+    f = np.concatenate(
+        [np.stack([a, b, d], axis=-1), np.stack([a, d, c], axis=-1)],
+        axis=0,
+    ).astype(np.int32)
+    if to_world is not None:
+        v = apply_transform(to_world, v)
+    return v.astype(np.float32), f
+
+
+def hair(control_points, radius=0.01, n_phi=4):
+    """Hair fibers as tessellated tubes (hair.cpp models fibers as
+    capsule segments; at render scale low-poly open tubes match).
+    `control_points`: list of (K_i, 3) polylines, one per fiber."""
+    parts_v, parts_f = [], []
+    off = 0
+    for pts in control_points:
+        pts = np.asarray(pts, np.float32)
+        for i in range(len(pts) - 1):
+            v, f = cylinder(pts[i], pts[i + 1], radius, n_phi=n_phi)
+            parts_v.append(v)
+            parts_f.append(f + off)
+            off += len(v)
+    return (np.concatenate(parts_v, axis=0),
+            np.concatenate(parts_f, axis=0))
+
+
+def load_hair_file(path, radius_default=0.025):
+    """Mitsuba .hair loader (hair.cpp:loadHairFile): either ASCII lines
+    of 'x y z' with blank lines separating fibers, or the BINARY_HAIR
+    format (magic 'BINARY_HAIR', uint32 vertex count, float triples
+    with +inf x as fiber separators)."""
+    with open(path, "rb") as fh:
+        head = fh.read(11)
+        fibers, cur = [], []
+        if head == b"BINARY_HAIR":
+            (n,) = np.frombuffer(fh.read(4), np.uint32)
+            data = np.frombuffer(fh.read(), np.float32)
+            i = 0
+            read = 0
+            while read < n:
+                x = data[i]
+                if np.isinf(x):
+                    if cur:
+                        fibers.append(np.asarray(cur, np.float32))
+                    cur = []
+                    i += 1
+                else:
+                    cur.append(data[i:i + 3])
+                    i += 3
+                read += 1
+        else:
+            fh.seek(0)
+            for line in fh.read().decode("latin-1").splitlines():
+                line = line.strip()
+                if not line:
+                    if cur:
+                        fibers.append(np.asarray(cur, np.float32))
+                    cur = []
+                    continue
+                cur.append([float(t) for t in line.split()[:3]])
+        if cur:
+            fibers.append(np.asarray(cur, np.float32))
+    return [f for f in fibers if len(f) >= 2]
+
+
+def instance(base_v, base_f, to_worlds):
+    """Shape instancing (instance.cpp/shapegroup.cpp): replicate a mesh
+    under a list of 4x4 transforms. On TPU the win of shared geometry
+    is VMEM locality, not memory — meshes are flattened up front and
+    the BVH sees the union (the reference's kd-tree nests instead)."""
+    all_v, all_f = [], []
+    off = 0
+    for t in to_worlds:
+        all_v.append(apply_transform(t, base_v))
+        all_f.append(np.asarray(base_f, np.int32) + off)
+        off += len(base_v)
+    return (np.concatenate(all_v, axis=0).astype(np.float32),
+            np.concatenate(all_f, axis=0))
+
+
 def apply_transform(mat4, verts):
     """Apply a 4x4 homogeneous transform to (N, 3) vertices."""
     mat4 = np.asarray(mat4, dtype=np.float32)

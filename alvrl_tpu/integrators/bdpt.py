@@ -66,12 +66,18 @@ def _remap0(x):
 # subpath walks
 # ---------------------------------------------------------------------------
 
-def _eye_subpath(scene: Scene, key, ray_o, ray_d, n_eye: int):
+def _eye_subpath(scene: Scene, key, ray_o, ray_d, n_eye: int,
+                 u_steps=None):
     """Random walk from the camera. Stored vertices start at the first
     surface hit. pdf_fwd[0] = 1 (the camera->x1 segment is shared by
-    every strategy at a fixed pixel and cancels in the MIS ratios)."""
+    every strategy at a fixed pixel and cancels in the MIS ratios).
+    `u_steps` (n_eye, N_SAMPLE_DIMS) drives the walk from explicit
+    uniforms (the primary-sample-space entry used by mlt)."""
+    if u_steps is None:
+        u_steps = jax.random.uniform(
+            key, (n_eye, bsdf_api.N_SAMPLE_DIMS))
 
-    def step(carry, k):
+    def step(carry, u):
         o, d, beta, active, pdf_next = carry
         hit = intersect.intersect_all(o, d, scene.vertices, scene.faces)
         hp = jnp.where(hit.valid[..., None], hit.p, o)
@@ -79,8 +85,8 @@ def _eye_subpath(scene: Scene, key, ray_o, ray_d, n_eye: int):
         emit_id = scene.face_emitter[jnp.maximum(hit.prim, 0)]
         v_valid = active & hit.valid
 
-        smp = bsdf_api.sample(scene, k, mat_id, hit.ng, hit.ng_raw, d, hp,
-                              mode="radiance")
+        smp = bsdf_api.sample_from_uniforms(
+            scene, u, mat_id, hit.ng, hit.ng_raw, d, hp, mode="radiance")
         pdf_sa = bsdf_api.pdf_smooth(scene, mat_id, hit.ng, -d, smp.wo)
         pdf_sa = jnp.where(smp.is_delta, 1.0, pdf_sa)
         # reverse pdf at THIS vertex toward the previous one
@@ -102,9 +108,8 @@ def _eye_subpath(scene: Scene, key, ray_o, ray_d, n_eye: int):
         survive = v_valid & smp.valid & ~jnp.all(smp.weight == 0.0)
         return (hp, smp.wo, new_beta, survive, pdf_sa), out
 
-    keys = jax.random.split(key, n_eye)
     init = (ray_o, ray_d, jnp.ones((3,)), jnp.bool_(True), jnp.float32(1.0))
-    _, vs = jax.lax.scan(step, init, keys)
+    _, vs = jax.lax.scan(step, init, u_steps)
     # convert pdf_fwd (solid angle at the PREVIOUS vertex) to area here:
     # prev position is ray_o for i=0 else vs.p[i-1]
     prev_p = jnp.concatenate([ray_o[None], vs["p"][:-1]], axis=0)
@@ -117,14 +122,19 @@ def _eye_subpath(scene: Scene, key, ray_o, ray_d, n_eye: int):
     return vs
 
 
-def _light_start(scene: Scene, key):
+N_LIGHT_START_DIMS = 5  # emitter select + position 2D + direction 2D
+
+
+def _light_start(scene: Scene, key, u5=None):
     """Sample the light subpath origin y0 + start direction, with the
-    pdf decomposition bidirectional MIS needs. AREA + POINT kinds."""
+    pdf decomposition bidirectional MIS needs. AREA + POINT kinds.
+    `u5` (5,) drives the sample from explicit uniforms."""
     em = scene.emitters
-    k_sel, k_pos, k_dir = jax.random.split(key, 3)
+    if u5 is None:
+        u5 = jax.random.uniform(key, (N_LIGHT_START_DIMS,))
     cdf = jnp.cumsum(em.pmf)
     idx = jnp.clip(
-        jnp.searchsorted(cdf, rng.uniform(k_sel) * cdf[-1]), 0,
+        jnp.searchsorted(cdf, u5[0] * cdf[-1]), 0,
         em.pmf.shape[0] - 1,
     )
     kind = em.kind[idx]
@@ -133,7 +143,7 @@ def _light_start(scene: Scene, key):
     is_point = kind == em_mod.POINT
 
     # position on the light
-    uv = rng.uniform2(k_pos)
+    uv = u5[1:3]
     su = jnp.sqrt(jnp.clip(uv[0], 1e-9, 1.0))
     b0, b1 = 1.0 - su, uv[1] * su
     tri_p = em.position[idx] + b0 * em.tri_e1[idx] + b1 * em.tri_e2[idx]
@@ -147,7 +157,7 @@ def _light_start(scene: Scene, key):
     pdf_pos = jnp.where(is_area, pmf / area, pmf)  # point: discrete
 
     # start direction
-    u2 = rng.uniform2(k_dir)
+    u2 = u5[3:5]
     local = warp.square_to_cosine_hemisphere(u2)
     s_f, t_f = m.build_frame(n_face)
     d_area = m.frame_to_world(s_f, t_f, n_face, local)
@@ -172,21 +182,28 @@ def _light_start(scene: Scene, key):
     )
 
 
-def _light_subpath(scene: Scene, key, n_light: int):
+def _light_subpath(scene: Scene, key, n_light: int, u_start=None,
+                   u_steps=None):
     """Light random walk: vertex 0 is ON the light; vertices 1.. are
-    surface hits (importance transport)."""
-    k0, k_walk = jax.random.split(key)
-    ls = _light_start(scene, k0)
+    surface hits (importance transport). `u_start` (5,) and `u_steps`
+    (n_light-1, N_SAMPLE_DIMS) drive it from explicit uniforms."""
+    if u_start is None:
+        k0, k_walk = jax.random.split(key)
+        u_start = jax.random.uniform(k0, (N_LIGHT_START_DIMS,))
+        u_steps = jax.random.uniform(
+            k_walk, (max(n_light - 1, 1), bsdf_api.N_SAMPLE_DIMS))
+    ls = _light_start(scene, None, u5=u_start)
 
-    def step(carry, k):
+    def step(carry, u):
         o, d, beta, active, pdf_next = carry
         hit = intersect.intersect_all(o, d, scene.vertices, scene.faces)
         hp = jnp.where(hit.valid[..., None], hit.p, o)
         mat_id = scene.material[jnp.maximum(hit.prim, 0)]
         v_valid = active & hit.valid
 
-        smp = bsdf_api.sample(scene, k, mat_id, hit.ng, hit.ng_raw, d, hp,
-                              mode="importance")
+        smp = bsdf_api.sample_from_uniforms(
+            scene, u, mat_id, hit.ng, hit.ng_raw, d, hp,
+            mode="importance")
         pdf_sa = bsdf_api.pdf_smooth(scene, mat_id, hit.ng, -d, smp.wo)
         pdf_sa = jnp.where(smp.is_delta, 1.0, pdf_sa)
         pdf_rev_sa = bsdf_api.pdf_smooth(scene, mat_id, hit.ng, smp.wo, -d)
@@ -201,10 +218,8 @@ def _light_subpath(scene: Scene, key, n_light: int):
         survive = v_valid & smp.valid & ~jnp.all(smp.weight == 0.0)
         return (hp, smp.wo, new_beta, survive, pdf_sa), out
 
-    n_surf = n_light - 1
-    keys = jax.random.split(k_walk, max(n_surf, 1))
     init = (ls["p0"], ls["d0"], ls["beta1"], ls["valid"], ls["pdf_dir"])
-    _, vs = jax.lax.scan(step, init, keys)
+    _, vs = jax.lax.scan(step, init, u_steps)
     prev_p = jnp.concatenate([ls["p0"][None], vs["p"][:-1]], axis=0)
     vs["pdf_fwd"] = _area_pdf(vs["pdf_fwd"], vs["p"] - prev_p, vs["ng"])
     vs["prev_p"] = prev_p
@@ -301,6 +316,46 @@ def li_bdpt(scene: Scene, ray_o, ray_d, key, cfg: BDPTConfig):
     k_eye, k_light = jax.random.split(key)
     ev = _eye_subpath(scene, k_eye, ray_o, ray_d, cfg.n_eye)
     ls, lv = _light_subpath(scene, k_light, cfg.n_light)
+    return _connect_all(scene, ev, ls, lv, cfg)
+
+
+def n_dims_bdpt(cfg: BDPTConfig) -> int:
+    """Primary-sample-space dimension of one BDPT sample: pixel (2) +
+    eye walk + light start + light walk."""
+    return (2 + cfg.n_eye * bsdf_api.N_SAMPLE_DIMS + N_LIGHT_START_DIMS
+            + max(cfg.n_light - 1, 1) * bsdf_api.N_SAMPLE_DIMS)
+
+
+def li_bdpt_from_uniforms(scene: Scene, u, cfg: BDPTConfig):
+    """Deterministic map u in [0,1]^D -> (pixel_x, pixel_y, Li): the
+    whole bidirectional estimator driven by one primary-sample vector
+    (the path parameterization Metropolis integrators mutate)."""
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px = jnp.minimum(u[0] * w, w - 1e-3)
+    py = jnp.minimum(u[1] * h, h - 1e-3)
+    ix, iy = jnp.floor(px), jnp.floor(py)
+    ray_o, ray_d = perspective.sample_ray(
+        cam, ix, iy, jitter=jnp.stack([px - ix, py - iy], axis=-1)
+    )
+    nd = bsdf_api.N_SAMPLE_DIMS
+    pos = 2
+    u_eye = u[pos:pos + cfg.n_eye * nd].reshape(cfg.n_eye, nd)
+    pos += cfg.n_eye * nd
+    u_ls = u[pos:pos + N_LIGHT_START_DIMS]
+    pos += N_LIGHT_START_DIMS
+    n_surf = max(cfg.n_light - 1, 1)
+    u_lw = u[pos:pos + n_surf * nd].reshape(n_surf, nd)
+
+    ev = _eye_subpath(scene, None, ray_o, ray_d, cfg.n_eye,
+                      u_steps=u_eye)
+    ls, lv = _light_subpath(scene, None, cfg.n_light, u_start=u_ls,
+                            u_steps=u_lw)
+    return px, py, _connect_all(scene, ev, ls, lv, cfg)
+
+
+def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
+    """MIS-weighted sum over every (s, t) connection strategy."""
     em = scene.emitters
 
     total = jnp.zeros((3,))

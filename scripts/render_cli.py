@@ -87,6 +87,10 @@ def main():
 
     if args.output.endswith(".npy"):
         image_io.write_npy(args.output, img)
+    elif args.output.endswith(".exr"):
+        from alvrl_tpu.io import exr as exr_io
+
+        exr_io.write_exr(args.output, img)
     else:
         image_io.write_pfm(args.output, img)
     if args.png:

@@ -71,6 +71,27 @@ def test_sobol_stratified():
     assert (s >= 0).all() and (s < 1).all()
 
 
+def test_faure_net_property():
+    # (0, s)-net in base 3: each 1D projection of the first 27 points
+    # hits every width-1/27 bin exactly once (faure.cpp semantics)
+    pts = np.asarray(qmc.faure(27, dims=3))
+    assert pts.shape == (27, 3)
+    for d in range(3):
+        bins = np.floor(pts[:, d] * 27).astype(int)
+        assert len(set(bins.tolist())) == 27
+    # offset continuation stays consistent with a longer run
+    tail = np.asarray(qmc.faure(10, dims=3, offset=17))
+    full = np.asarray(qmc.faure(27, dims=3))
+    np.testing.assert_allclose(tail, full[17:], atol=1e-7)
+
+
+def test_ld2d_is_02_sequence():
+    pts = np.asarray(qmc.ld2d(64))
+    for d in range(2):
+        bins = np.floor(pts[:, d] * 64).astype(int)
+        assert len(set(bins.tolist())) == 64
+
+
 # ---------------- chi-square harness ----------------
 
 def test_chisquare_accepts_correct_sampler():
