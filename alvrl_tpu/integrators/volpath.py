@@ -46,26 +46,46 @@ class VolpathConfig:
     vrl_vol_to_vol: bool = struct.field(pytree_node=False, default=True)
     vrl_vol_to_surf: bool = struct.field(pytree_node=False, default=True)
     single_scatter: bool = struct.field(pytree_node=False, default=False)
+    # extra walk iterations for null-boundary pass-throughs (which do
+    # not consume depth) in scenes with per-shape nested media
+    null_crossings: int = struct.field(pytree_node=False, default=8)
 
 
-def _nee_point_light(scene: Scene, key, p):
+def _nee_point_light(scene: Scene, key, p, med_id=None):
     """Next-event estimation against the emitter table: returns
     (direction_to_light (3,), attenuated value (3,)). Counterpart of
     Scene::sampleAttenuatedEmitterDirect for delta emitters (MIS weight
-    1 since they cannot be hit by BSDF/phase sampling)."""
+    1 since they cannot be hit by BSDF/phase sampling). `med_id` is the
+    medium at p when the scene uses per-shape nested media."""
     from alvrl_tpu.emitters import emitters as em_mod
 
     lo, hi = scene.aabb()
     radius = 0.5 * jnp.linalg.norm(hi - lo)
     dirn, val, dist = em_mod.nee(scene.emitters, key, p, radius)
     endpoint = p + dist[..., None] * dirn
-    tau = eval_transmittance_between(scene, p, endpoint)
+    if scene.media is not None:
+        from alvrl_tpu.media import table as mtbl
+
+        tau = mtbl.eval_transmittance_nested(
+            scene, p, endpoint,
+            jnp.int32(0) if med_id is None else med_id,
+        )
+    else:
+        tau = eval_transmittance_between(scene, p, endpoint)
     return dirn, val * tau
 
 
 def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
-    """Radiance for a single eye ray (vmap over a batch externally)."""
-    med = scene.medium
+    """Radiance for a single eye ray (vmap over a batch externally).
+
+    When scene.media is set (per-shape nested media, media/table.py)
+    the walker tracks its current medium id and every surface event
+    switches it to the interior/exterior medium of the crossed face —
+    the reference's per-shape medium references + the null-interface
+    medium switching of Scene::evalTransmittance."""
+    nested = scene.media is not None
+    if nested:
+        from alvrl_tpu.media import table as mtbl
 
     state = dict(
         ray_o=ray_o,
@@ -79,12 +99,18 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         second_ok=jnp.bool_(not cfg.only_vrl_paths),
         prev_volume=jnp.bool_(False),
         prev_diffuse=jnp.bool_(False),
+        med_id=jnp.int32(0),
     )
 
     def step(state, k):
         k_dist, k_nee, k_phase, k_bsdf, k_rr, k_spec = jax.random.split(k, 6)
         depth = state["depth"]
-        active = state["active"]
+        # explicit depth bound: with nested media the scan runs longer
+        # than max_depth (null crossings are free), so the depth budget
+        # must terminate lanes itself
+        active = state["active"] & (depth <= cfg.max_depth)
+        med = (mtbl.medium_at(scene.media, state["med_id"]) if nested
+               else scene.medium)
 
         # onlyVRLpaths early exit (volpath.cpp:148-149)
         if cfg.only_vrl_paths:
@@ -133,7 +159,10 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         tp_med = state["throughput"] * ms.w_scatter
 
         # luminaire sampling at the medium vertex
-        nee_dir, nee_val = _nee_point_light(scene, k_nee, p_med)
+        nee_dir, nee_val = _nee_point_light(
+            scene, k_nee, p_med,
+            med_id=state["med_id"] if nested else None,
+        )
         phase_val = ph.eval_phase(med.phase_kind, med.g, -state["ray_d"], nee_dir)
         nee_contrib = tp_med * nee_val * phase_val[..., None]
         if cfg.only_vrl_paths:
@@ -188,7 +217,22 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         from alvrl_tpu.textures.procedural import interp_uv
 
         uv_tex = interp_uv(scene.face_uv, hit.prim, hit.uv)
-        nee_dir_s, nee_val_s = _nee_point_light(scene, k_nee, hit_p)
+        if nested:
+            # the NEE segment leaves the surface on the light's side
+            lo_s, hi_s = scene.aabb()
+            rad_s = 0.5 * jnp.linalg.norm(hi_s - lo_s)
+            from alvrl_tpu.emitters import emitters as em_mod_
+
+            probe_dir, _, _ = em_mod_.nee(
+                scene.emitters, k_nee, hit_p, rad_s
+            )
+            med_surf = mtbl.medium_after_surface(
+                scene, jnp.maximum(hit.prim, 0), probe_dir
+            )
+        nee_dir_s, nee_val_s = _nee_point_light(
+            scene, k_nee, hit_p,
+            med_id=med_surf if nested else None,
+        )
         bsdf_val = bsdf_eval_smooth(
             scene, mat_id, hit.ng, -state["ray_d"], nee_dir_s,
             p_world=hit_p, uv=uv_tex,
@@ -240,9 +284,16 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             surface_event & is_delta, state["eta"] * eta_ratio, state["eta"]
         )
         # 'undo' initial specular vertices (volpath.cpp:377-380): a delta
-        # bounce at depth 1 does not advance the depth counter
+        # bounce at depth 1 does not advance the depth counter; null
+        # boundary pass-throughs never do (they are medium interfaces,
+        # not scattering events — Scene::evalTransmittance semantics)
+        from alvrl_tpu.scene.scene import NULL as _NULL
+
+        is_null_mat = scene.materials.kind[mat_id] == _NULL
         depth_inc = jnp.where(
-            surface_event & is_delta & (depth == 1), 0, 1
+            surface_event & (
+                is_null_mat | (is_delta & (depth == 1))
+            ), 0, 1,
         )
         second_ok = jnp.where(medium_event, second_ok_med, state["second_ok"])
         prev_volume = jnp.where(
@@ -261,6 +312,16 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         rr_scale = jnp.where(do_rr & ~rr_kill, 1.0 / jnp.maximum(q, 1e-30), 1.0)
         survive = survive & ~rr_kill
 
+        if nested:
+            med_after = mtbl.medium_after_surface(
+                scene, jnp.maximum(hit.prim, 0), new_d
+            )
+            new_med_id = jnp.where(
+                surface_event, med_after, state["med_id"]
+            )
+        else:
+            new_med_id = state["med_id"]
+
         new_state = dict(
             ray_o=new_o,
             ray_d=new_d,
@@ -273,6 +334,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             second_ok=second_ok,
             prev_volume=prev_volume,
             prev_diffuse=prev_diffuse,
+            med_id=new_med_id,
         )
         # Freeze everything except li on inactive lanes.
         froze = jax.tree_util.tree_map(
@@ -281,7 +343,8 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         froze["li"] = li  # li accumulations are already masked by events
         return froze, None
 
-    keys = jax.random.split(key, cfg.max_depth)
+    n_steps = cfg.max_depth + (cfg.null_crossings if nested else 0)
+    keys = jax.random.split(key, n_steps)
     final, _ = jax.lax.scan(step, state, keys)
 
     li = final["li"]

@@ -8,6 +8,7 @@ medium, a single point emitter, camera inside the medium.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,6 +115,65 @@ def cornell_smoke_hg(width=256, height=256, g=0.8):
     return cornell_smoke(
         width=width, height=height, g=g,
         sigma_s=(0.6, 0.6, 0.6), sigma_a=(0.04, 0.04, 0.04),
+    )
+
+
+def cornell_nested_smoke(width=64, height=64, cube_half=0.5,
+                         sigma_s=(0.8, 0.8, 0.8),
+                         sigma_a=(0.05, 0.05, 0.05), g=0.0,
+                         exterior=None, **kwargs):
+    """Cornell box with VACUUM (or `exterior`) outside and a smoke-filled
+    null-boundary cube at the center — the per-shape nested-media
+    fixture (interior/exterior medium references of the reference's
+    Shape + null BSDF, scene.cpp:619-679)."""
+    from alvrl_tpu.media.table import make_media_table
+    from alvrl_tpu.scene.scene import NULL
+
+    base = cornell_smoke(width=width, height=height,
+                         with_blocker=False, **kwargs)
+
+    cv, cf = shapes.cube()
+    cv = cv * np.float32(cube_half)
+    n_v = base.vertices.shape[0]
+    n_f = base.faces.shape[0]
+    verts = jnp.concatenate([base.vertices, jnp.asarray(cv)], axis=0)
+    faces = jnp.concatenate(
+        [base.faces, jnp.asarray(cf) + n_v], axis=0)
+
+    mats = base.materials
+    null_id = mats.kind.shape[0]
+    mats = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a, a[-1:]], axis=0), mats
+    ).replace(
+        kind=jnp.concatenate(
+            [mats.kind, jnp.asarray([NULL], jnp.int32)]),
+    )
+    material = jnp.concatenate(
+        [base.material, jnp.full((cf.shape[0],), null_id, jnp.int32)])
+
+    if exterior is None:
+        ext_a = ext_s = (0.0, 0.0, 0.0)
+        ext_g = 0.0
+    else:
+        ext_a, ext_s, ext_g = exterior
+    media = make_media_table(
+        sigma_a=[list(ext_a), list(sigma_a)],
+        sigma_s=[list(ext_s), list(sigma_s)],
+        g=[ext_g, g],
+    )
+    face_med_int = jnp.concatenate([
+        jnp.zeros((n_f,), jnp.int32),
+        jnp.ones((cf.shape[0],), jnp.int32),
+    ])
+    face_med_ext = jnp.zeros((faces.shape[0],), jnp.int32)
+    from alvrl_tpu.integrators.surface import vacuumize
+
+    return vacuumize(base).replace(
+        vertices=verts, faces=faces, material=material,
+        materials=mats, media=media,
+        face_med_int=face_med_int, face_med_ext=face_med_ext,
+        face_emitter=jnp.full((faces.shape[0],), -1, jnp.int32),
+        face_uv=jnp.zeros((faces.shape[0], 3, 2), jnp.float32),
     )
 
 

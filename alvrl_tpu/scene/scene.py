@@ -136,6 +136,12 @@ class Scene:
     face_uv: jax.Array = None  # (T, 3, 2) per-corner texture coords
     textures: jax.Array = None  # (K, H, W, 3) bitmap texture stack
                                 # (equal-size, loader-padded)
+    # per-shape nested media (media/table.py); None => the single
+    # global `medium` everywhere (the reference's shapes reference
+    # interior/exterior media the same way)
+    media: object = None               # MediaTable | None
+    face_med_int: jax.Array = None     # (T,) i32 id into `media`
+    face_med_ext: jax.Array = None     # (T,) i32 id into `media`
 
     def __post_init__(self):
         if self.face_emitter is None:
@@ -151,6 +157,16 @@ class Scene:
         if self.textures is None:
             object.__setattr__(
                 self, "textures", jnp.zeros((1, 1, 1, 3), jnp.float32)
+            )
+        if self.face_med_int is None:
+            object.__setattr__(
+                self, "face_med_int",
+                jnp.zeros((self.faces.shape[0],), jnp.int32),
+            )
+        if self.face_med_ext is None:
+            object.__setattr__(
+                self, "face_med_ext",
+                jnp.zeros((self.faces.shape[0],), jnp.int32),
             )
 
     @property
