@@ -86,6 +86,12 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
     nested = scene.media is not None
     if nested:
         from alvrl_tpu.media import table as mtbl
+    # oriented grid media (kkay/microflake) look up a local fiber
+    # direction at every medium vertex
+    oriented = (not nested) and (not mapi.is_homogeneous(scene.medium)) \
+        and scene.medium.phase_kind in (ph.KKAY, ph.MICROFLAKE)
+    if oriented:
+        from alvrl_tpu.media import heterogeneous as gmed
 
     state = dict(
         ray_o=ray_o,
@@ -163,7 +169,12 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             scene, k_nee, p_med,
             med_id=state["med_id"] if nested else None,
         )
-        phase_val = ph.eval_phase(med.phase_kind, med.g, -state["ray_d"], nee_dir)
+        orient = gmed.lookup_orientation(med, p_med) if oriented else None
+        pp = med.phase_params if oriented else None
+        phase_val = ph.eval_phase(
+            med.phase_kind, med.g, -state["ray_d"], nee_dir,
+            orientation=orient, pp=pp,
+        )
         nee_contrib = tp_med * nee_val * phase_val[..., None]
         if cfg.only_vrl_paths:
             prev_gate = (
@@ -186,8 +197,11 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         )
 
         # phase sampling for continuation
+        u_sir = (jax.random.uniform(k_phase, (16, 3))
+                 if oriented and med.phase_kind == ph.MICROFLAKE else None)
         wo_phase, w_phase, _ = ph.sample_phase(
-            med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
+            med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase),
+            orientation=orient, pp=pp, u_sir=u_sir,
         )
         tp_med_cont = tp_med * w_phase[..., None]
         med_continue = medium_event & ~jnp.bool_(cfg.single_scatter)
