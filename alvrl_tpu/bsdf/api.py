@@ -35,8 +35,9 @@ from alvrl_tpu.bsdf import microfacet as mf
 from alvrl_tpu.core import math as m
 from alvrl_tpu.core import rng, warp
 from alvrl_tpu.scene.scene import (
-    DIELECTRIC, DIFFTRANS, DIFFUSE, MASK, MIXTURE, PHONG, PLASTIC,
-    ROUGH_CONDUCTOR, ROUGH_PLASTIC, WARD, Scene,
+    COATING, DIELECTRIC, DIFFTRANS, DIFFUSE, HK, MASK, MIXTURE,
+    NORMALMAP, PHONG, PLASTIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC, WARD,
+    Scene,
 )
 from alvrl_tpu.textures.procedural import albedo_at
 
@@ -90,26 +91,66 @@ def eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
                 p_world=None, uv=None):
     """BSDF eval * cos(theta_o) of the smooth (ESmooth) components —
     the reference's bsdf->eval(bRec) with ESmooth-only measure
-    (vrlIntegrator.cpp:758-761). Resolves MASK/MIXTURE wrappers."""
+    (vrlIntegrator.cpp:758-761). Resolves MASK/MIXTURE/COATING/
+    NORMALMAP wrappers and the HK slab."""
+    from alvrl_tpu.bsdf import layered
+
     mats = scene.materials
+    kind = mats.kind[mat_id]
+
+    # normal mapping perturbs the shading frame before everything else
+    if uv is not None:
+        ng_pert = layered.perturbed_normal(scene, mat_id, ng, uv)
+        ng = jnp.where((kind == NORMALMAP)[..., None], ng_pert, ng)
     s_f, t_f = m.build_frame(ng)
     wi_l = m.frame_to_local(s_f, t_f, ng, wi_world)
     wo_l = m.frame_to_local(s_f, t_f, ng, wo_world)
 
-    def leaf(mid):
+    def leaf(mid, wi=None, wo=None):
         alb = (mats.albedo[mid] if p_world is None
                else albedo_at(scene, mid, p_world, uv=uv))
-        return _leaf_eval_local(scene, mid, wi_l, wo_l, alb)
+        return _leaf_eval_local(
+            scene, mid,
+            wi_l if wi is None else wi,
+            wo_l if wo is None else wo, alb,
+        )
 
-    kind = mats.kind[mat_id]
     f_leaf = leaf(mat_id)
     f_n1 = leaf(mats.nested[mat_id])
     f_n2 = leaf(mats.nested2[mat_id])
     w = mats.opacity[mat_id][..., None]
+
+    # coating.cpp eval: Fresnel-attenuated nested eval at the refracted
+    # directions, slab absorption, solid-angle measure factor
+    eta_c = mats.eta[mat_id]
+    fi, fo, wi_p, wo_p, ok_c, jac = layered.coating_factors(
+        wi_l, wo_l, eta_c)
+    absorb = layered.coating_absorption(
+        mats.albedo2[mat_id], mats.exponent[mat_id],
+        wi_p[..., 2], wo_p[..., 2])
+    f_coat = leaf(mats.nested[mat_id], wi=wi_p, wo=wo_p) * (
+        (1.0 - fi) * (1.0 - fo) * jac)[..., None] * absorb
+    f_coat = jnp.where(ok_c[..., None], f_coat, 0.0)
+
+    # hk.cpp's eval output is already in the f*cos convention
+    f_hk = layered.hk_eval(
+        wi_l, wo_l, mats.albedo[mat_id], mats.albedo2[mat_id],
+        mats.exponent[mat_id], mats.alpha[mat_id],
+    )
+
     return jnp.where(
         (kind == MASK)[..., None], w * f_n1,
-        jnp.where((kind == MIXTURE)[..., None],
-                  w * f_n1 + (1.0 - w) * f_n2, f_leaf),
+        jnp.where(
+            (kind == MIXTURE)[..., None], w * f_n1 + (1.0 - w) * f_n2,
+            jnp.where(
+                (kind == COATING)[..., None], f_coat,
+                jnp.where(
+                    (kind == HK)[..., None], f_hk,
+                    jnp.where((kind == NORMALMAP)[..., None],
+                              f_n1, f_leaf),
+                ),
+            ),
+        ),
     )
 
 
@@ -153,24 +194,44 @@ def _leaf_pdf_local(scene: Scene, mat_id, wi_l, wo_l):
     )
 
 
-def pdf_smooth(scene: Scene, mat_id, ng, wi_world, wo_world):
+def pdf_smooth(scene: Scene, mat_id, ng, wi_world, wo_world, uv=None):
     """Solid-angle pdf that `sample` generates wo given wi over the
     smooth lobes (BSDF::pdf with ESmooth measure) — the quantity
     bidirectional MIS weights need. Wrapper kinds mix nested pdfs by
     their selection probabilities."""
+    from alvrl_tpu.bsdf import layered
+
     mats = scene.materials
+    kind = mats.kind[mat_id]
+    if uv is not None:
+        ng_pert = layered.perturbed_normal(scene, mat_id, ng, uv)
+        ng = jnp.where((kind == NORMALMAP)[..., None], ng_pert, ng)
     s_f, t_f = m.build_frame(ng)
     wi_l = m.frame_to_local(s_f, t_f, ng, wi_world)
     wo_l = m.frame_to_local(s_f, t_f, ng, wo_world)
 
-    kind = mats.kind[mat_id]
     p_leaf = _leaf_pdf_local(scene, mat_id, wi_l, wo_l)
     p_n1 = _leaf_pdf_local(scene, mats.nested[mat_id], wi_l, wo_l)
     p_n2 = _leaf_pdf_local(scene, mats.nested2[mat_id], wi_l, wo_l)
     w = mats.opacity[mat_id]
+
+    fi, _, wi_p, wo_p, ok_c, jac = layered.coating_factors(
+        wi_l, wo_l, mats.eta[mat_id])
+    p_coat = (1.0 - fi) * _leaf_pdf_local(
+        scene, mats.nested[mat_id], wi_p, wo_p) * jac
+    p_coat = jnp.where(ok_c, p_coat, 0.0)
+    p_hk = layered.hk_pdf(wi_l, wo_l)
+
     return jnp.where(
         kind == MASK, w * p_n1,
-        jnp.where(kind == MIXTURE, w * p_n1 + (1.0 - w) * p_n2, p_leaf),
+        jnp.where(
+            kind == MIXTURE, w * p_n1 + (1.0 - w) * p_n2,
+            jnp.where(
+                kind == COATING, p_coat,
+                jnp.where(kind == HK, p_hk,
+                          jnp.where(kind == NORMALMAP, p_n1, p_leaf)),
+            ),
+        ),
     )
 
 
@@ -207,24 +268,45 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
 
     mats = scene.materials
 
+    from alvrl_tpu.bsdf import layered
+
     # ---- wrapper resolution (one nesting level) ----------------------
     kind0 = mats.kind[mat_id]
     u_sel = u[..., 0]
     opac = mats.opacity[mat_id]
     is_mask = kind0 == MASK
     is_mix = kind0 == MIXTURE
+    is_nmap = kind0 == NORMALMAP
+    is_coat = kind0 == COATING
+    is_hk = kind0 == HK
     mask_pass = is_mask & (u_sel >= opac)
     eff = jnp.where(
-        is_mask, mats.nested[mat_id],
+        is_mask | is_nmap, mats.nested[mat_id],
         jnp.where(is_mix & (u_sel < opac), mats.nested[mat_id],
                   jnp.where(is_mix, mats.nested2[mat_id], mat_id)),
     )
-    kind = mats.kind[eff]
-    albedo = albedo_at(scene, eff, p_world, uv=uv)
-    alpha = mats.alpha[eff]
+
+    # normal mapping perturbs the shading frame (normalmap.cpp)
+    if uv is not None:
+        ng_pert = layered.perturbed_normal(scene, mat_id, ng, uv)
+        ng = jnp.where(is_nmap[..., None], ng_pert, ng)
 
     s_f, t_f = m.build_frame(ng)
     wi_l = m.frame_to_local(s_f, t_f, ng, -d_in)
+
+    # coating.cpp: select the delta coat lobe with prob F(wi); the
+    # transmitted branch shades the nested BSDF at REFRACTED directions
+    eta_c = mats.eta[mat_id]
+    fi_c = lobes.fresnel_dielectric_scalar(jnp.abs(wi_l[..., 2]), eta_c)
+    coat_refl = is_coat & (u_sel < fi_c)
+    coat_trans = is_coat & ~coat_refl
+    wi_refr, _ = layered.refract_z(wi_l, 1.0 / eta_c)
+    wi_l = jnp.where(coat_trans[..., None], wi_refr, wi_l)
+    eff = jnp.where(coat_trans, mats.nested[mat_id], eff)
+
+    kind = mats.kind[eff]
+    albedo = albedo_at(scene, eff, p_world, uv=uv)
+    alpha = mats.alpha[eff]
     u2 = u[..., 1:3]
     u3 = jnp.concatenate([u[..., 3:4], u2], axis=-1)
 
@@ -288,6 +370,49 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
          (kind == PLASTIC, w_pl)],
         w_diffuse,
     )
+    # ---- coating exit: refract the nested sample back out -------------
+    # (1-Fi) cancels against the transmission selection probability;
+    # total internal reflection on exit kills the sample (coating.cpp)
+    wo_exit, ok_exit = layered.refract_z(wo_l, eta_c)
+    fo_c = lobes.fresnel_dielectric_scalar(
+        jnp.abs(wo_exit[..., 2]), eta_c)
+    absorb_c = layered.coating_absorption(
+        mats.albedo2[mat_id], mats.exponent[mat_id],
+        wi_l[..., 2], wo_l[..., 2])
+    w_coat_t = weight * (1.0 - fo_c)[..., None] * absorb_c
+    wo_coat_r_l = jnp.stack(
+        [-wi_l[..., 0], -wi_l[..., 1], wi_l[..., 2]], axis=-1)
+    coat_dead = coat_trans & ~ok_exit
+    wo_l = jnp.where(coat_trans[..., None], wo_exit, wo_l)
+    wo_l = jnp.where((coat_refl | coat_dead)[..., None], wo_coat_r_l,
+                     wo_l)
+    weight = jnp.where(coat_trans[..., None], w_coat_t, weight)
+    weight = jnp.where(coat_refl[..., None], jnp.ones_like(weight),
+                       weight)
+
+    # ---- HK slab: delta transmission vs two-sided cosine lobe ---------
+    sig_s_hk = mats.albedo[mat_id]
+    sig_a_hk = mats.albedo2[mat_id]
+    th_hk = mats.exponent[mat_id]
+    g_hk = mats.alpha[mat_id]
+    t_delta = layered.hk_delta_transmittance(
+        wi_l, sig_s_hk, sig_a_hk, th_hk)
+    p_delta = jnp.clip(jnp.mean(t_delta, axis=-1), 1e-3, 0.9)
+    hk_delta = is_hk & (u_sel < p_delta)
+    hk_scat = is_hk & ~hk_delta
+    flip = u[..., 3] < 0.5
+    wo_hk_l = jnp.where(
+        flip[..., None],
+        wo_diffuse_l * jnp.asarray([1.0, 1.0, -1.0]), wo_diffuse_l)
+    f_hk = layered.hk_eval(wi_l, wo_hk_l, sig_s_hk, sig_a_hk, th_hk,
+                           g_hk)
+    pdf_hk = layered.hk_pdf(wi_l, wo_hk_l)
+    w_hk = f_hk / jnp.maximum(
+        pdf_hk * (1.0 - p_delta), 1e-12)[..., None]
+    w_hk_delta = t_delta / p_delta[..., None]
+    wo_l = jnp.where(hk_scat[..., None], wo_hk_l, wo_l)
+    weight = jnp.where(hk_scat[..., None], w_hk, weight)
+
     wo_world = m.frame_to_world(s_f, t_f, ng, wo_l)
 
     smooth_kinds = (
@@ -295,7 +420,8 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
         | (kind == ROUGH_PLASTIC) | (kind == PHONG) | (kind == WARD)
         | (kind == DIFFTRANS) | (kind == PLASTIC)
     )
-    sampled_delta = is_delta_kind | ((kind == PLASTIC) & pl_delta)
+    sampled_delta = (is_delta_kind | ((kind == PLASTIC) & pl_delta)
+                     | coat_refl | hk_delta)
     wo = jnp.where(is_delta_kind[..., None], wo_spec, wo_world)
     weight = jnp.where(is_delta_kind[..., None], w_spec, weight)
     eta_ratio = jnp.where(is_delta_kind, eta_ratio_d, 1.0)
@@ -305,15 +431,21 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
     wo = jnp.where(((kind == PLASTIC) & pl_delta)[..., None],
                    wo_pl_spec, wo)
 
+    # HK delta transmission continues straight through (hk.cpp:206)
+    wo = jnp.where(hk_delta[..., None], d_in, wo)
+    weight = jnp.where(hk_delta[..., None], w_hk_delta, weight)
+
     # mask pass-through (the null component of mask.cpp)
     wo = jnp.where(mask_pass[..., None], d_in, wo)
     weight = jnp.where(mask_pass[..., None], jnp.ones_like(weight), weight)
     eta_ratio = jnp.where(mask_pass, 1.0, eta_ratio)
     is_delta = sampled_delta | mask_pass
-    valid = smooth_kinds | is_delta_kind | mask_pass
+    valid = (smooth_kinds | is_delta_kind | mask_pass | is_coat | is_hk) \
+        & ~coat_dead
     # the smooth flag reports the *material*: PLASTIC keeps a smooth
     # base even when the delta coat was sampled
-    is_smooth = smooth_kinds & ~mask_pass
+    is_smooth = (smooth_kinds | is_coat | is_hk) & ~mask_pass
+    weight = jnp.where(coat_dead[..., None], 0.0, weight)
     return BSDFSample(
         wo=wo, weight=weight, eta_ratio=eta_ratio,
         is_delta=is_delta, is_smooth=is_smooth, valid=valid,

@@ -34,6 +34,15 @@ DIFFTRANS = 8 # diffuse transmission (difftrans.cpp)
 PLASTIC = 9   # smooth dielectric coat over Lambert (plastic.cpp)
 MASK = 10     # opacity mask over a nested BSDF (mask.cpp)
 MIXTURE = 11  # two-component convex mixture (mixturebsdf/blendbsdf.cpp)
+COATING = 12  # smooth dielectric layer over `nested` (coating.cpp):
+              # eta = coat IOR, albedo2 = coat sigma_a, exponent = coat
+              # thickness
+NORMALMAP = 13  # tangent-space normal texture (tex_id) shading the
+                # `nested` material (normalmap.cpp; bumpmap.cpp height
+                # fields are baked to normal maps by the loader)
+HK = 14       # Hanrahan-Krueger single-scattering slab (hk.cpp):
+              # albedo = sigma_s, albedo2 = sigma_a, exponent =
+              # thickness, alpha = HG phase mean cosine
 
 
 @struct.dataclass
