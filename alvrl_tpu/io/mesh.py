@@ -1,8 +1,10 @@
-"""Triangle-mesh loaders: OBJ and PLY.
+"""Triangle-mesh loaders: OBJ, PLY, and mitsuba `.serialized`.
 
-Counterpart of src/shapes/{obj,ply}.cpp (the serialized .mts format is
-reference-internal; OBJ/PLY cover the shared assets, e.g. bunny.ply in
-data/tests). Pure numpy, triangulates polygon faces by fanning.
+Counterpart of src/shapes/{obj,ply,serialized}.cpp. Pure numpy,
+triangulates polygon faces by fanning. The `.serialized` reader follows
+TriMesh::loadCompressed (src/librender/trimesh.cpp:175-260): little-
+endian header 0x041C + version, zlib-deflated per-mesh streams with a
+flags word, and a uint64 offset dictionary + uint32 mesh count at EOF.
 """
 
 from __future__ import annotations
@@ -151,3 +153,119 @@ def load_ply(path):
                     )
                     f.read(_struct.calcsize(fmt_str) * count)
     return verts, np.asarray(faces, np.int32).reshape(-1, 3)
+
+
+# ---------------------------------------------------------------------------
+# mitsuba .serialized (TriMesh::loadCompressed, trimesh.cpp:175-260)
+# ---------------------------------------------------------------------------
+
+_SER_MAGIC = 0x041C
+_E_HAS_NORMALS = 0x0001
+_E_HAS_TEXCOORDS = 0x0002
+_E_HAS_COLORS = 0x0008
+_E_FACE_NORMALS = 0x0010
+_E_SINGLE = 0x1000
+_E_DOUBLE = 0x2000
+
+
+def serialized_mesh_count(path) -> int:
+    """Number of meshes in a .serialized file (uint32 at EOF)."""
+    with open(path, "rb") as f:
+        f.seek(-4, 2)
+        (n,) = _struct.unpack("<I", f.read(4))
+    return n
+
+
+def load_serialized(path, index: int = 0):
+    """Load one mesh from a .serialized file.
+
+    Returns (verts (V, 3) f32, faces (T, 3) i32, normals (V, 3) | None,
+    uvs (V, 2) | None). Mesh `index` is located through the uint64
+    offset dictionary at the end of the file.
+    """
+    import zlib
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    magic, version = _struct.unpack_from("<HH", buf, 0)
+    if magic != _SER_MAGIC:
+        raise ValueError("not a mitsuba .serialized file")
+    if version not in (3, 4):
+        raise ValueError(f"unsupported .serialized version {version}")
+
+    (count,) = _struct.unpack_from("<I", buf, len(buf) - 4)
+    if not 0 <= index < count:
+        raise IndexError(f"mesh index {index} out of range ({count})")
+    dict_start = len(buf) - 4 - 8 * count
+    (offset,) = _struct.unpack_from("<Q", buf, dict_start + 8 * index)
+    start = offset + 4  # skip the per-mesh magic+version header
+
+    data = zlib.decompressobj().decompress(buf[start:])
+    pos = 0
+    (flags,) = _struct.unpack_from("<I", data, pos)
+    pos += 4
+    if version == 4:  # null-terminated mesh name
+        end = data.index(b"\0", pos)
+        pos = end + 1
+    v_count, t_count = _struct.unpack_from("<QQ", data, pos)
+    pos += 16
+
+    dtype = np.float64 if flags & _E_DOUBLE else np.float32
+    fsize = 8 if flags & _E_DOUBLE else 4
+
+    def read_arr(n_elem):
+        nonlocal pos
+        a = np.frombuffer(data, dtype, count=n_elem, offset=pos)
+        pos += n_elem * fsize
+        return a.astype(np.float32)
+
+    verts = read_arr(v_count * 3).reshape(-1, 3)
+    normals = None
+    if flags & _E_HAS_NORMALS:
+        normals = read_arr(v_count * 3).reshape(-1, 3)
+    uvs = None
+    if flags & _E_HAS_TEXCOORDS:
+        uvs = read_arr(v_count * 2).reshape(-1, 2)
+    if flags & _E_HAS_COLORS:
+        read_arr(v_count * 3)
+    idx_t = np.uint64 if v_count > 0xFFFFFFFF else np.uint32
+    faces = np.frombuffer(
+        data, idx_t, count=t_count * 3, offset=pos
+    ).astype(np.int32).reshape(-1, 3)
+    return verts, faces, normals, uvs
+
+
+def save_serialized(path, meshes):
+    """Write meshes [(verts, faces[, normals[, uvs]]), ...] as a v3
+    .serialized file (the inverse of load_serialized, for tests and
+    interchange with the reference)."""
+    import zlib
+
+    offsets = []
+    out = bytearray()
+    for mesh in meshes:
+        verts, faces = mesh[0], mesh[1]
+        normals = mesh[2] if len(mesh) > 2 else None
+        uvs = mesh[3] if len(mesh) > 3 else None
+        offsets.append(len(out))
+        out += _struct.pack("<HH", _SER_MAGIC, 3)
+        flags = _E_SINGLE
+        body = bytearray()
+        if normals is not None:
+            flags |= _E_HAS_NORMALS
+        if uvs is not None:
+            flags |= _E_HAS_TEXCOORDS
+        body += _struct.pack("<I", flags)
+        body += _struct.pack("<QQ", len(verts), len(faces))
+        body += np.asarray(verts, np.float32).tobytes()
+        if normals is not None:
+            body += np.asarray(normals, np.float32).tobytes()
+        if uvs is not None:
+            body += np.asarray(uvs, np.float32).tobytes()
+        body += np.asarray(faces, np.uint32).tobytes()
+        out += zlib.compress(bytes(body))
+    for off in offsets:
+        out += _struct.pack("<Q", off)
+    out += _struct.pack("<I", len(meshes))
+    with open(path, "wb") as f:
+        f.write(out)

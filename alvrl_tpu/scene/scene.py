@@ -109,6 +109,8 @@ PERSPECTIVE = 0   # perspective.cpp (pinhole)
 THINLENS = 1      # thinlens.cpp (aperture + focus distance)
 ORTHOGRAPHIC = 2  # orthographic.cpp
 SPHERICAL = 3     # spherical.cpp (equirectangular)
+TELECENTRIC = 4   # telecentric.cpp (ortho film + finite aperture)
+PERSPECTIVE_RDIST = 5  # perspective_rdist.cpp (radial distortion kc)
 
 
 @struct.dataclass
@@ -127,6 +129,8 @@ class Camera:
     aperture_radius: float = 0.0
     focus_distance: float = 1.0
     ortho_scale: float = 1.0
+    kc0: float = 0.0  # radial distortion r^2 coeff (perspective_rdist)
+    kc1: float = 0.0  # radial distortion r^4 coeff
     width: int = struct.field(pytree_node=False, default=128)
     height: int = struct.field(pytree_node=False, default=128)
     kind: int = struct.field(pytree_node=False, default=PERSPECTIVE)

@@ -23,7 +23,9 @@ from alvrl_tpu.core import math as m
 from alvrl_tpu.scene.scene import (
     ORTHOGRAPHIC,
     PERSPECTIVE,
+    PERSPECTIVE_RDIST,
     SPHERICAL,
+    TELECENTRIC,
     THINLENS,
     Camera,
 )
@@ -51,8 +53,16 @@ def sample_ray(cam: Camera, px, py, jitter=None, lens_uv=None):
     rot = cam.to_world[:3, :3]
     cam_o = cam.to_world[:3, 3]
 
-    if cam.kind in (PERSPECTIVE, THINLENS):
+    if cam.kind in (PERSPECTIVE, THINLENS, PERSPECTIVE_RDIST):
         th = _tan_half(cam)
+        if cam.kind == PERSPECTIVE_RDIST:
+            # polynomial radial distortion (perspective_rdist.cpp):
+            # the stored kc describe the lens; ray generation applies
+            # the forward model to the ideal film position
+            r2 = ndc_x * ndc_x + ndc_y * ndc_y
+            factor = 1.0 + cam.kc0 * r2 + cam.kc1 * r2 * r2
+            ndc_x = ndc_x * factor
+            ndc_y = ndc_y * factor
         d_cam = jnp.stack(
             [ndc_x * th, ndc_y * th * aspect, jnp.ones_like(ndc_x)],
             axis=-1,
@@ -78,7 +88,7 @@ def sample_ray(cam: Camera, px, py, jitter=None, lens_uv=None):
         o = jnp.broadcast_to(o, d.shape)
         return o, d
 
-    if cam.kind == ORTHOGRAPHIC:
+    if cam.kind in (ORTHOGRAPHIC, TELECENTRIC):
         o_cam = jnp.stack(
             [
                 ndc_x * cam.ortho_scale,
@@ -87,6 +97,26 @@ def sample_ray(cam: Camera, px, py, jitter=None, lens_uv=None):
             ],
             axis=-1,
         )
+        if cam.kind == TELECENTRIC:
+            # parallel chief rays + a finite aperture focused at
+            # focus_distance (telecentric.cpp)
+            if lens_uv is None:
+                lu = lv = 0.5
+            else:
+                lu, lv = lens_uv[..., 0], lens_uv[..., 1]
+            r = jnp.sqrt(lu) * cam.aperture_radius
+            phi = 2.0 * jnp.pi * lv
+            lens = jnp.stack(
+                [r * jnp.cos(phi), r * jnp.sin(phi), jnp.zeros_like(r)],
+                axis=-1,
+            )
+            focus_p = o_cam + jnp.asarray([0.0, 0.0, 1.0]) \
+                * cam.focus_distance
+            o_cam = o_cam + lens
+            d_cam = m.normalize(focus_p - o_cam)
+            d = m.normalize(d_cam @ rot.T)
+            o = cam_o + o_cam @ rot.T
+            return o, d
         d = jnp.broadcast_to(rot[:, 2], o_cam.shape)
         o = cam_o + o_cam @ rot.T
         return o, m.normalize(d)

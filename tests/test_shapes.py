@@ -50,6 +50,26 @@ def test_hair_tubes_and_loader(tmp_path):
     assert loaded[1].shape == (3, 3)
 
 
+def test_serialized_roundtrip(tmp_path):
+    from alvrl_tpu.io import mesh as M
+
+    v = np.random.default_rng(0).random((10, 3)).astype(np.float32)
+    f = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+    n = np.tile([0.0, 0.0, 1.0], (10, 1)).astype(np.float32)
+    uv = np.random.default_rng(1).random((10, 2)).astype(np.float32)
+    p = tmp_path / "m.serialized"
+    M.save_serialized(p, [(v, f, n, uv), (v * 2, f)])
+    assert M.serialized_mesh_count(p) == 2
+    v2, f2, n2, uv2 = M.load_serialized(p, 0)
+    np.testing.assert_allclose(v2, v)
+    np.testing.assert_array_equal(f2, f)
+    np.testing.assert_allclose(n2, n)
+    np.testing.assert_allclose(uv2, uv)
+    v3, _, n3, uv3 = M.load_serialized(p, 1)
+    np.testing.assert_allclose(v3, v * 2)
+    assert n3 is None and uv3 is None
+
+
 def test_instance_replicates():
     v, f = shapes.rectangle()
     iv, if_ = shapes.instance(
