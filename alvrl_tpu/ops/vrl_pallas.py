@@ -279,8 +279,9 @@ def _kernel(
         pre = []
         for (px_, py_, pz_), (qx_, qy_, qz_) in segments:
             ddx, ddy, ddz = qx_ - px_, qy_ - py_, qz_ - pz_
-            dist = jnp.sqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-30))
-            idist = 1.0 / dist
+            idist = jax.lax.rsqrt(
+                jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-30))
+            dist = (ddx * ddx + ddy * ddy + ddz * ddz) * idist
             ux, uy, uz = ddx * idist, ddy * idist, ddz * idist
             lo = 1e-3 * jnp.maximum(dist, 1.0)
             hi = dist - lo
@@ -303,25 +304,44 @@ def _kernel(
                 pvy = uz * e2x - ux * e2z
                 pvz = ux * e2y - uy * e2x
                 det = e1x * pvx + e1y * pvy + e1z * pvz
-                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                # division-free Wald test: compare det-scaled
+                # barycentrics against |det| (one sign flip replaces
+                # the per-triangle reciprocal — divisions dominate the
+                # VPU cost of this sweep)
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                adet = det * sgn
                 tvx, tvy, tvz = px_ - p0x, py_ - p0y, pz_ - p0z
-                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * sgn
                 qvx = tvy * e1z - tvz * e1y
                 qvy = tvz * e1x - tvx * e1z
                 qvz = tvx * e1y - tvy * e1x
-                vv = (ux * qvx + uy * qvy + uz * qvz) * inv_det
-                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                vv = (ux * qvx + uy * qvy + uz * qvz) * sgn
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * sgn
                 hit = (
-                    (jnp.abs(det) > 1e-12)
-                    & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                    & (tt > lo) & (tt < hi)
+                    (adet > 1e-12)
+                    & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= adet)
+                    & (tt > lo * adet) & (tt < hi * adet)
                 )
                 # f32 carry: scf.for cannot legalize vector<i1> state
                 out.append(jnp.where(hit, 1.0, blocked[k]))
             return tuple(out)
 
         init = tuple(jnp.zeros(shape, jnp.float32) for _ in segments)
-        blocked = jax.lax.fori_loop(0, n_tris, body, init)
+        # unroll x4: amortizes the scf.for carry and pipelines the SMEM
+        # scalar loads without exceeding scoped VMEM (a full unroll
+        # keeps too many tiles live)
+        unroll = 4
+        n_main = (n_tris // unroll) * unroll
+
+        def body4(q, blocked):
+            t0 = q * unroll
+            for dt in range(unroll):
+                blocked = body(t0 + dt, blocked)
+            return blocked
+
+        blocked = jax.lax.fori_loop(0, n_main // unroll, body4, init)
+        for t in range(n_main, n_tris):
+            blocked = body(t, blocked)
         return [b > 0.5 for b in blocked]
 
     acc = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
