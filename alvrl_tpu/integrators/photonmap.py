@@ -102,8 +102,10 @@ def trace_photons(scene: Scene, key, num_particles: int,
             # the volume estimate is pure phase * Phi / volume):
             beta_med_v = state["beta"] * ms.w_scatter
             beta_surf_v = state["beta"] * ms.w_pass
+            p_med = jnp.where(medium_event[..., None], ms.p,
+                              state["ray_o"])
             out = dict(
-                v_pos=ms.p, v_wi=-state["ray_d"], v_pow=beta_med_v,
+                v_pos=p_med, v_wi=-state["ray_d"], v_pow=beta_med_v,
                 v_ok=medium_event,
                 s_pos=hit.p, s_wi=-state["ray_d"], s_pow=beta_surf_v,
                 s_ok=surface_event & is_diffuse,
@@ -116,7 +118,7 @@ def trace_photons(scene: Scene, key, num_particles: int,
                 scene, k_bsdf, mat_id, hit.ng, hit.ng_raw,
                 state["ray_d"], hit.p,
             )
-            new_o = jnp.where(medium_event[..., None], ms.p, hit.p)
+            new_o = jnp.where(medium_event[..., None], p_med, hit.p)
             new_d = jnp.where(medium_event[..., None], wo_phase, wo_bsdf)
             new_beta = jnp.where(
                 medium_event[..., None],
@@ -134,7 +136,8 @@ def trace_photons(scene: Scene, key, num_particles: int,
             survive = medium_event | (
                 surface_event & bsdf_valid & ~jnp.all(w_bsdf == 0.0)
             )
-            q = jnp.minimum(jnp.max(new_tp) * new_eta ** 2, 0.95)
+            q = jax.lax.stop_gradient(
+                jnp.minimum(jnp.max(new_tp) * new_eta ** 2, 0.95))
             do_rr = depth >= cfg.rr_depth
             rr_kill = do_rr & (rng.uniform(k_rr) >= q)
             rr_scale = jnp.where(

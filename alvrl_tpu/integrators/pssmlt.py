@@ -111,11 +111,13 @@ def li_from_uniforms(scene: Scene, u, cfg: PSSMLTConfig):
 
         # ---- medium vertex ----
         tp_med = state["throughput"] * ms.w_scatter
+        # sanitize the no-interaction sentinel position (see volpath)
+        p_med = jnp.where(medium_event[..., None], ms.p, state["ray_o"])
         nee_dir, nee_val, nee_dist = em_mod.nee_u(
-            scene.emitters, ud[_D_NEE:_D_NEE + 3], ms.p, radius
+            scene.emitters, ud[_D_NEE:_D_NEE + 3], p_med, radius
         )
-        endpoint = ms.p + nee_dist[..., None] * nee_dir
-        tau_nee = eval_transmittance_between(scene, ms.p, endpoint)
+        endpoint = p_med + nee_dist[..., None] * nee_dir
+        tau_nee = eval_transmittance_between(scene, p_med, endpoint)
         phase_val = ph.eval_phase(
             med.phase_kind, med.g, -state["ray_d"], nee_dir
         )
@@ -158,7 +160,7 @@ def li_from_uniforms(scene: Scene, u, cfg: PSSMLTConfig):
         )
 
         li = state["li"] + li_med + li_surf + li_emit + li_env
-        new_o = jnp.where(medium_event[..., None], ms.p, hit_p)
+        new_o = jnp.where(medium_event[..., None], p_med, hit_p)
         new_d = jnp.where(medium_event[..., None], wo_phase, smp.wo)
         new_tp = jnp.where(
             medium_event[..., None], tp_med_cont, tp_surf * smp.weight

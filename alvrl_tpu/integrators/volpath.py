@@ -157,7 +157,10 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         )
 
         # ---------------- medium vertex ------------------------------
-        p_med = ms.p
+        # Sanitize: at non-medium events ms.p carries the 3e30 no-
+        # interaction sentinel; squaring it in NEE distances overflows
+        # to inf and the masked NaN poisons reverse-mode (0 * NaN).
+        p_med = jnp.where(medium_event[..., None], ms.p, state["ray_o"])
         first_ok_med = state["first_ok"] | (
             (depth == 1) & jnp.bool_(cfg.vrl_vol_to_vol)
         )
@@ -319,7 +322,10 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         )
 
         # Russian roulette (volpath.cpp:443-452)
-        q = jnp.minimum(jnp.max(new_tp) * new_eta ** 2, 0.95)
+        # q is an importance denominator -> detached (detached-
+        # sampling estimator; also keeps 1/q residuals off dead lanes)
+        q = jax.lax.stop_gradient(
+            jnp.minimum(jnp.max(new_tp) * new_eta ** 2, 0.95))
         do_rr = depth >= cfg.rr_depth
         u = rng.uniform(k_rr)
         rr_kill = do_rr & (u >= q)

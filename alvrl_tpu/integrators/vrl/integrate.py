@@ -50,6 +50,13 @@ class VRLConfig:
     # near the eye ray — so 8 midpoint steps suffice; None = global
     # N_TAU_STEPS)
     uv_tau_steps: int = struct.field(pytree_node=False, default=8)
+    # gradient mode for the short-VRL 1/pdfFailure compensation
+    # (Mitsuba-3-style attached vs detached): attached (False) is the
+    # gradient of the render FUNCTION at frozen VRLs (matches finite
+    # differences of the frozen render); detached (True) cancels the
+    # tracer's sampling score and is the correct mode when
+    # differentiating the FULL trace->render pipeline.
+    detached: bool = struct.field(pytree_node=False, default=False)
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +291,11 @@ def pair_contribution(
         c = c * m.safe_divide(1.0, pdf * d_uv * d_uv)[..., None]
         c = c * tau_sv * tau_uv * tau_eu
         if cfg.short_vrls:
-            c = c / jnp.maximum(pdf_fail_sv, 1e-30)[..., None]
+            pf = jnp.maximum(pdf_fail_sv, 1e-30)
+            if cfg.detached:
+                # cancel the tracer's endpoint-sampling score
+                pf = jax.lax.stop_gradient(pf)
+            c = c / pf[..., None]
         c = c * ph.eval_phase(med.phase_kind, med.g, -vu, -ray_d)[..., None]
         c = c * ph.eval_phase(med.phase_kind, med.g, -sv_dir, vu)[..., None]
         ok = (d_uv > 0.0) & jnp.all(jnp.isfinite(c), axis=-1)
@@ -307,7 +318,11 @@ def pair_contribution(
         c = c * m.safe_divide(1.0, pdf_v * d_uv * d_uv)[..., None]
         c = c * tau_sv * tau_uv
         if cfg.short_vrls:
-            c = c / jnp.maximum(pdf_fail_sv, 1e-30)[..., None]
+            pf = jnp.maximum(pdf_fail_sv, 1e-30)
+            if cfg.detached:
+                # cancel the tracer's endpoint-sampling score
+                pf = jax.lax.stop_gradient(pf)
+            c = c / pf[..., None]
         c = c * ph.eval_phase(med.phase_kind, med.g, -sv_dir, vu)[..., None]
         c = c * bsdf_eval_smooth(
             scene, hit_mat, hit_ng, -ray_d, -vu, p_world=hit_p

@@ -131,7 +131,10 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
         surface_event = (~ms.success) & hit.valid & active
 
         # --- medium scattering ---------------------------------------
-        p_scatter = ms.p
+        # sanitize the no-interaction sentinel position (reverse-mode
+        # 0 * NaN poisoning through masked distance math — see volpath)
+        p_scatter = jnp.where(medium_event[..., None], ms.p,
+                              state["ray_o"])
         factor_med = ms.w_scatter
         wo_phase, w_phase, _ = ph.sample_phase(
             med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
@@ -182,7 +185,8 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
 
         new_eta = jnp.where(surface_event, state["eta"] * eta_ratio, state["eta"])
         # Russian roulette (vrlTracer.h:218-228)
-        q = jnp.minimum(jnp.max(new_tp) * new_eta ** 2, 0.95)
+        q = jax.lax.stop_gradient(
+            jnp.minimum(jnp.max(new_tp) * new_eta ** 2, 0.95))
         do_rr = depth >= cfg.rr_depth
         u = rng.uniform(k_rr)
         rr_kill = do_rr & (u >= q)

@@ -93,11 +93,22 @@ def sample_distance_seg_u(med, u2, ray_o, ray_d, dist_surf) -> DistanceSample:
 
 
 def _homog_to_distance_sample(ms, ray_o, ray_d) -> DistanceSample:
-    p = ray_o + ms.t[..., None] * ray_d  # position carries dt/dsigma
-    w_scatter = ms.transmittance * ms.sigma_s / jnp.maximum(
-        ms.pdf_success, 1e-30
+    p = ray_o + ms.t[..., None] * ray_d
+    # DETACHED-sampling gradients: the sampled location t is detached
+    # (pathwise dt/dsigma chains explode over multi-bounce walks) and
+    # the importance pdf DENOMINATORS are detached too — for any
+    # estimator f*tau/p with t ~ p, d/dtheta E[f tau / sg(p)] =
+    # int f d(tau)/dtheta dt, the TRUE expectation gradient (the score
+    # term of the moving density cancels exactly against the
+    # differentiated denominator). The numerator factors (tau, sigma_s)
+    # stay differentiable. This is the tracer-side gradient estimator
+    # the round-1 pathwise attempt could not provide.
+    w_scatter = ms.transmittance * ms.sigma_s / jax.lax.stop_gradient(
+        jnp.maximum(ms.pdf_success, 1e-30)
     )[..., None]
-    w_pass = ms.transmittance / jnp.maximum(ms.pdf_failure, 1e-30)[..., None]
+    w_pass = ms.transmittance / jax.lax.stop_gradient(
+        jnp.maximum(ms.pdf_failure, 1e-30)
+    )[..., None]
     return DistanceSample(
         success=ms.success, t=ms.t, p=p,
         w_scatter=w_scatter, w_pass=w_pass,

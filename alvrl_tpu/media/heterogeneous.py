@@ -54,6 +54,10 @@ class GridMedium:
     orientation: jax.Array = None   # (Dz, Dy, Dx, 3) or None
     phase_params: object = None     # phase.PhaseParams or None
     sigma_dir_max: jax.Array = None  # scalar majorant factor (default 1)
+    # distance-sampling strategy (heterogeneous.cpp EWoodcockTracking
+    # vs ESimpsonQuadrature): 0 = delta tracking, 1 = exact
+    # transmittance inversion over a cumulative-OD table
+    sampling: int = struct.field(pytree_node=False, default=0)
 
     @property
     def density_ss(self):
@@ -347,11 +351,16 @@ MAX_TRACKING_STEPS = 256
 
 
 def sample_distance(med: GridMedium, key, ray_o, ray_d, dist_surf):
-    """Woodcock delta tracking in the mean-sigma_t channel
+    """Free-flight sampling; strategy dispatch per med.sampling
+    (heterogeneous.cpp EWoodcockTracking default vs ESimpsonQuadrature).
+    Woodcock: delta tracking in the mean-sigma_t channel
     (heterogeneous.cpp:633-658). Scalar (single-lane) version — vmap
     over batches. Returns a GridMediumSample; `weight` already includes
     the spectral correction tau_spectral * sigma_s / pdf at the sampled
     point (so callers multiply throughput by `weight` directly)."""
+    if med.sampling == 1:
+        return sample_distance_quadrature(med, key, ray_o, ray_d,
+                                          dist_surf)
     chan = jnp.mean(med.sigma_t_color)
     dir_max = (jnp.float32(1.0) if med.sigma_dir_max is None
                else med.sigma_dir_max)
@@ -392,15 +401,93 @@ def sample_distance(med: GridMedium, key, ray_o, ray_d, dist_surf):
     pdf_success = jnp.maximum(chan * dens_end * tr_chan, 1e-30)
     pdf_failure = jnp.maximum(tr_chan, 1e-30)
     sigma_s = dens_end * med.sigma_s_color
+    # detached-sampling gradients: pdf denominators detached, tau and
+    # sigma_s numerators differentiable (see media.api note)
     weight = jnp.where(
         success,
-        (tau * sigma_s) / pdf_success,
-        tau / pdf_failure,
+        (tau * sigma_s) / jax.lax.stop_gradient(pdf_success),
+        tau / jax.lax.stop_gradient(pdf_failure),
     )
     return GridMediumSample(
         success=success,
         t=t_eff,
         p=p,
+        transmittance=tau,
+        pdf_success=pdf_success,
+        pdf_failure=pdf_failure,
+        sigma_s=sigma_s,
+        weight=weight,
+    )
+
+
+def _ray_box_exit(med: GridMedium, ray_o, ray_d):
+    """Distance to the medium AABB exit along the ray (slab test);
+    0 if the ray never enters."""
+    inv = 1.0 / jnp.where(jnp.abs(ray_d) < 1e-12,
+                          jnp.where(ray_d >= 0, 1e-12, -1e-12), ray_d)
+    t0 = (med.box_min - ray_o) * inv
+    t1 = (med.box_max - ray_o) * inv
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return jnp.where(t_far > jnp.maximum(t_near, 0.0),
+                     jnp.maximum(t_far, 0.0), 0.0)
+
+
+def sample_distance_quadrature(med: GridMedium, key, ray_o, ray_d,
+                               dist_surf, n_steps: int = N_TAU_STEPS * 4):
+    """Exact transmittance-inverse free flight: sample a target optical
+    depth -log(1-u) in the mean channel and invert the cumulative
+    density integral along the segment.
+
+    Counterpart of the ESimpsonQuadrature path (integrateDensity
+    heterogeneous.cpp:301 + the Newton-bisection invertDensityIntegral
+    :420): on TPU the monotone cumulative-OD table replaces the
+    iterative root polish — a searchsorted + linear interpolation,
+    fixed shape, one quadrature sweep."""
+    chan = jnp.mean(med.sigma_t_color)
+    # march only to the closer of the surface and the box exit
+    t_exit = _ray_box_exit(med, ray_o, ray_d)
+    seg_len = jnp.minimum(dist_surf, jnp.maximum(t_exit, 1e-6))
+    p_seg_end = ray_o + seg_len[..., None] * ray_d
+
+    cum = cumulative_od(med, ray_o, p_seg_end, n_steps=n_steps)  # (n+1,)
+    od_total = cum[..., -1]
+    target = -jnp.log1p(-rng.uniform(key)) / jnp.maximum(chan, 1e-30)
+    success = target < od_total
+    frac_idx = jnp.searchsorted(cum, target)  # first cum > target
+    k0 = jnp.clip(frac_idx - 1, 0, n_steps - 1)
+    c0 = cum[..., k0]
+    c1 = cum[..., k0 + 1]
+    w = jnp.where(c1 > c0, (target - c0) / jnp.maximum(c1 - c0, 1e-30),
+                  0.0)
+    frac = (k0 + jnp.clip(w, 0.0, 1.0)) / n_steps
+    t_med = frac * seg_len
+    t_eff = jnp.where(success, t_med, jnp.minimum(dist_surf, 3e30))
+    p = ray_o + t_eff[..., None] * ray_d
+
+    # beyond the segment the remaining density is zero, so the optical
+    # depth at the failure endpoint equals the segment total
+    od_at = jnp.where(success, target, od_total)
+    tau = jnp.exp(-med.sigma_t_color * od_at[..., None])
+    tr_chan = jnp.exp(-chan * od_at)
+    dens_end = lookup_density(med, p) * dir_factor(med, p, ray_d)
+    # the ACTUAL sampling density of the table inversion is the step-
+    # average density (piecewise-constant per table step), not the
+    # pointwise trilinear value — using the latter biases the weight
+    dens_step = (c1 - c0) * n_steps / jnp.maximum(seg_len, 1e-30)
+    pdf_success = jnp.maximum(chan * dens_step * tr_chan, 1e-30)
+    pdf_failure = jnp.maximum(tr_chan, 1e-30)
+    sigma_s = dens_end * med.sigma_s_color
+    weight = jnp.where(
+        success[..., None],
+        (tau * sigma_s) / jax.lax.stop_gradient(pdf_success)[..., None],
+        tau / jax.lax.stop_gradient(pdf_failure)[..., None],
+    )
+    t_ret = jnp.where(success, jax.lax.stop_gradient(t_eff), dist_surf)
+    return GridMediumSample(
+        success=success,
+        t=t_ret,
+        p=jax.lax.stop_gradient(p),
         transmittance=tau,
         pdf_success=pdf_success,
         pdf_failure=pdf_failure,
