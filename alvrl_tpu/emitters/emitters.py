@@ -308,6 +308,63 @@ def nee_u(em: Emitters, u3, p, scene_radius):
     return out_d, out_v, out_dist
 
 
+def nee_u_pdf(em: Emitters, u3, p, scene_radius):
+    """nee_u + the solid-angle pdf of the drawn sample and whether the
+    chosen emitter is MIS-able (area/env kinds BSDF sampling can also
+    reach; delta kinds return pdf 0). Returns (dir, val, dist, pdf_sa,
+    misable) — the quantities volpath's multiple importance sampling
+    needs (the reference's miWeight over sampleEmitterDirect)."""
+    cdf = jnp.cumsum(em.pmf)
+    idx = jnp.clip(
+        jnp.searchsorted(cdf, u3[0] * cdf[-1], side="left"),
+        0, em.pmf.shape[0] - 1,
+    )
+    out_d, out_v, out_dist = nee_u(em, u3, p, scene_radius)
+    kind = em.kind[idx]
+    pmf = em.pmf[idx]
+    # area: pdf_sa = pmf * r^2 / (cos_face * A)
+    r2 = jnp.maximum(out_dist * out_dist, 1e-12)
+    n_face = m.normalize(jnp.cross(em.tri_e1[idx], em.tri_e2[idx]))
+    area = jnp.maximum(
+        0.5 * jnp.linalg.norm(jnp.cross(em.tri_e1[idx], em.tri_e2[idx])),
+        1e-12)
+    cos_face = jnp.maximum(m.dot(n_face, -out_d), 1e-6)
+    pdf_area = pmf * r2 / (cos_face * area)
+    pdf_const = pmf / (4.0 * jnp.pi)
+    pdf_map = pmf * pdf_env(em.env, out_d)
+    is_area = kind == AREA
+    is_env = kind == CONSTANT
+    is_map = kind == ENVMAP
+    pdf_sa = jnp.where(is_area, pdf_area,
+                       jnp.where(is_env, pdf_const,
+                                 jnp.where(is_map, pdf_map, 0.0)))
+    misable = is_area | is_env | is_map
+    return out_d, out_v, out_dist, pdf_sa, misable
+
+
+def hit_emitter_nee_pdf(em: Emitters, emit_id, dist, cos_face):
+    """Solid-angle pdf with which NEE would have generated the segment
+    that just HIT area emitter `emit_id` at distance `dist` with facing
+    cosine `cos_face` (the other half of the MIS pair)."""
+    i = jnp.maximum(emit_id, 0)
+    area = jnp.maximum(
+        0.5 * jnp.linalg.norm(jnp.cross(em.tri_e1[i], em.tri_e2[i]),
+                              axis=-1), 1e-12)
+    return em.pmf[i] * jnp.maximum(dist * dist, 1e-12) / (
+        jnp.maximum(cos_face, 1e-6) * area)
+
+
+def env_nee_pdf(em: Emitters, d):
+    """Total solid-angle pdf of NEE generating escape direction d
+    through the environment emitters (sum over CONSTANT + ENVMAP
+    entries weighted by their selection pmf)."""
+    p_const = jnp.sum(
+        jnp.where(em.kind == CONSTANT, em.pmf, 0.0)) / (4.0 * jnp.pi)
+    p_map = jnp.sum(jnp.where(em.kind == ENVMAP, em.pmf, 0.0)) \
+        * pdf_env(em.env, d)
+    return p_const + p_map
+
+
 def env_radiance(em: Emitters, d):
     """Environment radiance seen by a ray escaping in direction d:
     constant emitters plus the environment map (zero when absent).

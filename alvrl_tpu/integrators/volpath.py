@@ -49,19 +49,26 @@ class VolpathConfig:
     # extra walk iterations for null-boundary pass-throughs (which do
     # not consume depth) in scenes with per-shape nested media
     null_crossings: int = struct.field(pytree_node=False, default=8)
+    # emitter MIS (the reference volpath's miWeight between NEE and
+    # BSDF/phase sampling); active only for the plain tracer — the
+    # onlyVRLpaths oracle keeps its validated single-strategy gating
+    mis: bool = struct.field(pytree_node=False, default=True)
 
 
 def _nee_point_light(scene: Scene, key, p, med_id=None):
     """Next-event estimation against the emitter table: returns
-    (direction_to_light (3,), attenuated value (3,)). Counterpart of
-    Scene::sampleAttenuatedEmitterDirect for delta emitters (MIS weight
-    1 since they cannot be hit by BSDF/phase sampling). `med_id` is the
-    medium at p when the scene uses per-shape nested media."""
+    (direction (3,), attenuated value (3,), nee solid-angle pdf,
+    misable). Counterpart of Scene::sampleAttenuatedEmitterDirect;
+    pdf/misable feed the MIS weights (delta emitters: pdf 0, weight 1
+    since BSDF/phase sampling cannot hit them). `med_id` is the medium
+    at p when the scene uses per-shape nested media."""
     from alvrl_tpu.emitters import emitters as em_mod
 
     lo, hi = scene.aabb()
     radius = 0.5 * jnp.linalg.norm(hi - lo)
-    dirn, val, dist = em_mod.nee(scene.emitters, key, p, radius)
+    u3 = rng.uniform(key, (3,))
+    dirn, val, dist, pdf_sa, misable = em_mod.nee_u_pdf(
+        scene.emitters, u3, p, radius)
     endpoint = p + dist[..., None] * dirn
     if scene.media is not None:
         from alvrl_tpu.media import table as mtbl
@@ -72,7 +79,7 @@ def _nee_point_light(scene: Scene, key, p, med_id=None):
         )
     else:
         tau = eval_transmittance_between(scene, p, endpoint)
-    return dirn, val * tau
+    return dirn, val * tau, pdf_sa, misable
 
 
 def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
@@ -84,6 +91,10 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
     the reference's per-shape medium references + the null-interface
     medium switching of Scene::evalTransmittance."""
     nested = scene.media is not None
+    use_mis = cfg.mis and not cfg.only_vrl_paths
+    if use_mis:
+        from alvrl_tpu.bsdf import api as bsdf_api_mis
+        from alvrl_tpu.emitters import emitters as em_mis
     if nested:
         from alvrl_tpu.media import table as mtbl
     # oriented grid media (kkay/microflake) look up a local fiber
@@ -106,6 +117,8 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         prev_volume=jnp.bool_(False),
         prev_diffuse=jnp.bool_(False),
         med_id=jnp.int32(0),
+        prev_pdf=jnp.float32(0.0),
+        prev_delta=jnp.bool_(True),  # camera vertex: no NEE preceded
     )
 
     def step(state, k):
@@ -148,11 +161,23 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         # emission queries are dropped after the first scatter
         # (ERadianceNoEmission) — NEE covers the env beyond depth 1
         env_gate = escape & (depth == 1)
+        w_env = jnp.float32(1.0)
         if cfg.only_vrl_paths:
             env_gate = escape & state["first_ok"] & state["second_ok"]
+        elif use_mis:
+            # MIS against env NEE: emission is counted at EVERY depth,
+            # weighted by the sampling-strategy balance (volpath.cpp's
+            # miWeight on the escaped ray)
+            env_gate = escape
+            p_env = em_mis.env_nee_pdf(scene.emitters, state["ray_d"])
+            w_env = jnp.where(
+                state["prev_delta"] | (depth == 1), 1.0,
+                state["prev_pdf"]
+                / jnp.maximum(state["prev_pdf"] + p_env, 1e-30),
+            )
         li_env = jnp.where(
             env_gate[..., None],
-            state["throughput"] * ms.w_pass * env_l,
+            state["throughput"] * ms.w_pass * env_l * w_env,
             0.0,
         )
 
@@ -168,7 +193,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         tp_med = state["throughput"] * ms.w_scatter
 
         # luminaire sampling at the medium vertex
-        nee_dir, nee_val = _nee_point_light(
+        nee_dir, nee_val, p_nee_m, misable_m = _nee_point_light(
             scene, k_nee, p_med,
             med_id=state["med_id"] if nested else None,
         )
@@ -178,7 +203,17 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             med.phase_kind, med.g, -state["ray_d"], nee_dir,
             orientation=orient, pp=pp,
         )
-        nee_contrib = tp_med * nee_val * phase_val[..., None]
+        if use_mis:
+            p_dir_m = ph.pdf_phase(
+                med.phase_kind, med.g, -state["ray_d"], nee_dir,
+                orientation=orient, pp=pp,
+            )
+            w_nee_m = jnp.where(
+                misable_m,
+                p_nee_m / jnp.maximum(p_nee_m + p_dir_m, 1e-30), 1.0)
+        else:
+            w_nee_m = jnp.float32(1.0)
+        nee_contrib = tp_med * nee_val * (phase_val * w_nee_m)[..., None]
         if cfg.only_vrl_paths:
             prev_gate = (
                 (state["prev_volume"] | state["prev_diffuse"])
@@ -202,7 +237,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         # phase sampling for continuation
         u_sir = (jax.random.uniform(k_phase, (16, 3))
                  if oriented and med.phase_kind == ph.MICROFLAKE else None)
-        wo_phase, w_phase, _ = ph.sample_phase(
+        wo_phase, w_phase, pdf_phase_s = ph.sample_phase(
             med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase),
             orientation=orient, pp=pp, u_sir=u_sir,
         )
@@ -221,11 +256,25 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         emit_id = scene.face_emitter[jnp.maximum(hit.prim, 0)]
         front = m.dot(hit.ng_raw, -state["ray_d"]) > 0
         le_gate = surface_event & (emit_id >= 0) & front & (depth == 1)
+        w_hit = jnp.float32(1.0)
         if cfg.only_vrl_paths:
             le_gate = le_gate & state["first_ok"] & state["second_ok"]
+        elif use_mis:
+            # count emission at every depth, MIS-weighted against the
+            # NEE strategy that could have sampled the same segment
+            le_gate = surface_event & (emit_id >= 0) & front
+            cos_face = jnp.maximum(m.dot(hit.ng_raw, -state["ray_d"]),
+                                   1e-6)
+            p_nee_hit = em_mis.hit_emitter_nee_pdf(
+                scene.emitters, emit_id, hit.t, cos_face)
+            w_hit = jnp.where(
+                state["prev_delta"] | (depth == 1), 1.0,
+                state["prev_pdf"]
+                / jnp.maximum(state["prev_pdf"] + p_nee_hit, 1e-30),
+            )
         le_val = scene.emitters.intensity[jnp.maximum(emit_id, 0)]
         li_emit = jnp.where(
-            le_gate[..., None], tp_surf_pre * le_val, 0.0
+            le_gate[..., None], tp_surf_pre * le_val * w_hit, 0.0
         )
 
         # luminaire sampling at the surface (smooth BSDFs only)
@@ -246,7 +295,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             med_surf = mtbl.medium_after_surface(
                 scene, jnp.maximum(hit.prim, 0), probe_dir
             )
-        nee_dir_s, nee_val_s = _nee_point_light(
+        nee_dir_s, nee_val_s, p_nee_s, misable_s = _nee_point_light(
             scene, k_nee, hit_p,
             med_id=med_surf if nested else None,
         )
@@ -254,6 +303,14 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             scene, mat_id, hit.ng, -state["ray_d"], nee_dir_s,
             p_world=hit_p, uv=uv_tex,
         )
+        if use_mis:
+            p_dir_s = bsdf_api_mis.pdf_smooth(
+                scene, mat_id, hit.ng, -state["ray_d"], nee_dir_s,
+                uv=uv_tex)
+            w_nee_s = jnp.where(
+                misable_s,
+                p_nee_s / jnp.maximum(p_nee_s + p_dir_s, 1e-30), 1.0)
+            bsdf_val = bsdf_val * w_nee_s[..., None]
         # BSDF sampling through the central material dispatch (delta
         # lobes draw from the same key tree; k_spec is retired)
         smp = bsdf_api.sample(
@@ -342,6 +399,21 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
         else:
             new_med_id = state["med_id"]
 
+        if use_mis:
+            p_fwd_s = bsdf_api_mis.pdf_smooth(
+                scene, mat_id, hit.ng, -state["ray_d"], wo_bsdf,
+                uv=uv_tex)
+            new_prev_pdf = jnp.where(
+                medium_event, pdf_phase_s,
+                jnp.where(surface_event, p_fwd_s, state["prev_pdf"]))
+            new_prev_delta = jnp.where(
+                medium_event, False,
+                jnp.where(surface_event, is_delta,
+                          state["prev_delta"]))
+        else:
+            new_prev_pdf = state["prev_pdf"]
+            new_prev_delta = state["prev_delta"]
+
         new_state = dict(
             ray_o=new_o,
             ray_d=new_d,
@@ -355,6 +427,8 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             prev_volume=prev_volume,
             prev_diffuse=prev_diffuse,
             med_id=new_med_id,
+            prev_pdf=new_prev_pdf,
+            prev_delta=new_prev_delta,
         )
         # Freeze everything except li on inactive lanes.
         froze = jax.tree_util.tree_map(

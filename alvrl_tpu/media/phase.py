@@ -293,6 +293,15 @@ def eval_phase(kind: int, g, wi, wo, orientation=None, pp=None,
     return eval_hg(g, wi, wo)
 
 
+def pdf_phase(kind: int, g, wi, wo, orientation=None, pp=None):
+    """Solid-angle pdf of sample_phase generating wo: equals eval for
+    the perfectly importance-sampled kinds (HG/Rayleigh/microflake);
+    kkay samples the uniform sphere."""
+    if kind == KKAY:
+        return jnp.full(jnp.shape(m.dot(wi, wo)), m.INV_FOURPI)
+    return eval_phase(kind, g, wi, wo, orientation=orientation, pp=pp)
+
+
 def sample_phase(kind: int, g, wi, u2, orientation=None, pp=None,
                  u_sir=None):
     """Sample wo; returns (wo, weight, pdf). `u_sir` ((K, 3) uniforms)
