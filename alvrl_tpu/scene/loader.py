@@ -40,20 +40,25 @@ from alvrl_tpu.io import mesh as mesh_io
 from alvrl_tpu.media.heterogeneous import make_grid_medium
 from alvrl_tpu.media.homogeneous import make_medium
 from alvrl_tpu.scene.scene import (
+    COATING,
     DIELECTRIC,
     DIFFTRANS,
     DIFFUSE,
+    HK,
     MASK,
     MIRROR,
     MIXTURE,
+    NORMALMAP,
     NULL,
     ORTHOGRAPHIC,
     PERSPECTIVE,
+    PERSPECTIVE_RDIST,
     PHONG,
     PLASTIC,
     ROUGH_CONDUCTOR,
     ROUGH_PLASTIC,
     SPHERICAL,
+    TELECENTRIC,
     THINLENS,
     WARD,
     Camera,
@@ -69,11 +74,15 @@ _MAT_KINDS = {
     "roughconductor": ROUGH_CONDUCTOR, "roughplastic": ROUGH_PLASTIC,
     "plastic": PLASTIC, "phong": PHONG, "ward": WARD,
     "difftrans": DIFFTRANS, "mask": MASK, "mixturebsdf": MIXTURE,
-    "blendbsdf": MIXTURE, "mixture": MIXTURE,
+    "blendbsdf": MIXTURE, "mixture": MIXTURE, "coating": COATING,
+    "roughcoating": COATING, "normalmap": NORMALMAP,
+    "bumpmap": NORMALMAP, "hk": HK,
 }
 _CAM_KINDS = {
     "perspective": PERSPECTIVE, "thinlens": THINLENS,
     "orthographic": ORTHOGRAPHIC, "spherical": SPHERICAL,
+    "telecentric": TELECENTRIC, "perspective_rdist": PERSPECTIVE_RDIST,
+    "radiancemeter": PERSPECTIVE,
 }
 _EM_KINDS = {
     "point": em_mod.POINT, "spot": em_mod.SPOT,
@@ -99,8 +108,24 @@ def load_json(path_or_dict, defines=None) -> Scene:
 
 def build_scene(desc: dict) -> Scene:
     # materials
-    mats = desc.get("materials", [{"name": "default", "type": "diffuse",
-                                   "albedo": [0.5, 0.5, 0.5]}])
+    mats = list(desc.get("materials", [{"name": "default",
+                                        "type": "diffuse",
+                                        "albedo": [0.5, 0.5, 0.5]}]))
+    # area emitters are real geometry (area.cpp): give their faces a
+    # black diffuse material unless one is named
+    area_emitters = [e for e in desc.get("emitters", [])
+                     if e["type"] == "area"]
+    if area_emitters and not any(
+            mdesc.get("name") == "_emitter_black" for mdesc in mats):
+        mats.append({"name": "_emitter_black", "type": "diffuse",
+                     "albedo": [0.0, 0.0, 0.0]})
+    # shapes without an explicit material fall back to "default"
+    names = {mdesc.get("name", f"mat{i}") for i, mdesc in enumerate(mats)}
+    if "default" not in names and any(
+            s.get("material", "default") == "default"
+            for s in desc.get("shapes", [])):
+        mats.append({"name": "default", "type": "diffuse",
+                     "albedo": [0.5, 0.5, 0.5]})
     name_to_id = {}
     for i, mdesc in enumerate(mats):
         name_to_id[mdesc.get("name", f"mat{i}")] = i
@@ -113,11 +138,16 @@ def build_scene(desc: dict) -> Scene:
                   "bitmap": 4}
     for i, mdesc in enumerate(mats):
         kinds.append(_MAT_KINDS[mdesc["type"]])
-        albedos.append(mdesc.get("albedo", [1.0, 1.0, 1.0]))
+        # hk slabs store sigma_s in the albedo column
+        albedos.append(mdesc.get("albedo",
+                                 mdesc.get("sigma_s", [1.0, 1.0, 1.0])))
         etas.append(mdesc.get("eta", 1.0))
-        alphas.append(mdesc.get("alpha", 0.1))
+        # hk phase g rides the alpha column
+        alphas.append(mdesc.get("alpha", mdesc.get("g", 0.1)))
         speculars.append(mdesc.get("specular", [0.2] * 3))
-        exponents.append(mdesc.get("exponent", 30.0))
+        # coating/hk thickness rides the exponent column
+        exponents.append(mdesc.get("exponent",
+                                   mdesc.get("thickness", 30.0)))
         alpha_vs.append(mdesc.get("alpha_v", mdesc.get("alpha", 0.1)))
         # mask opacity / mixture first-lobe weight
         opacities.append(mdesc.get("opacity", mdesc.get("weight", 1.0)))
@@ -129,7 +159,9 @@ def build_scene(desc: dict) -> Scene:
         if tdesc is None:
             tex_kinds.append(0)
             tex_scales.append(1.0)
-            albedo2s.append([0.0] * 3)
+            # coating/hk absorption sigma_a rides the albedo2 column
+            albedo2s.append(mdesc.get("sigma_a",
+                                      mdesc.get("albedo2", [0.0] * 3)))
             tex_ids.append(0)
         else:
             tex_kinds.append(_TEX_KINDS[tdesc["type"]])
@@ -201,11 +233,73 @@ def build_scene(desc: dict) -> Scene:
             v, f = mesh_io.load_ply(sdesc["filename"])
             if tw is not None:
                 v = shp.apply_transform(tw, v)
+        elif st == "serialized":
+            v, f, _, vuv = mesh_io.load_serialized(
+                sdesc["filename"], sdesc.get("shape_index", 0))
+            if vuv is not None:
+                face_uv = vuv[np.asarray(f)]
+            if tw is not None:
+                v = shp.apply_transform(tw, v)
+        elif st == "disk":
+            v, f = shp.disk(n_phi=sdesc.get("n_phi", 48), to_world=tw)
+        elif st == "cylinder":
+            v, f = shp.cylinder(
+                sdesc.get("p0", (0, 0, 0)), sdesc.get("p1", (0, 0, 1)),
+                sdesc.get("radius", 1.0), n_phi=sdesc.get("n_phi", 32))
+            if tw is not None:
+                v = shp.apply_transform(tw, v)
+        elif st == "heightfield":
+            h = (np.load(sdesc["heights_npy"]) if "heights_npy" in sdesc
+                 else np.asarray(sdesc["heights"], np.float32))
+            v, f = shp.heightfield(h, sdesc.get("x_extent", 2.0),
+                                   sdesc.get("y_extent", 2.0),
+                                   to_world=tw)
+        elif st == "hair":
+            fibers = shp.load_hair_file(sdesc["filename"])
+            v, f = shp.hair(fibers, radius=sdesc.get("radius", 0.025))
+            if tw is not None:
+                v = shp.apply_transform(tw, v)
         else:
             raise ValueError(f"unknown shape type {st}")
         parts.append((v, f, name_to_id[sdesc.get("material", "default")],
                       face_uv))
+    part_media = [
+        (sdesc.get("interior_medium", 0), sdesc.get("exterior_medium", 0),
+         len(parts[i][1]))
+        for i, sdesc in enumerate(desc.get("shapes", []))
+    ]
     verts, faces, mat_ids, face_uvs = shp.merge(parts)
+    face_emitter = np.full((len(faces),), -1, np.int32)
+
+    # append area-emitter quads as geometry (two triangles / two
+    # emitter-table entries each, like the reference's area.cpp shapes)
+    area_entries = []
+    for e in area_emitters:
+        p0 = np.asarray(e["p0"], np.float32)
+        e1 = np.asarray(e["e1"], np.float32)
+        e2 = np.asarray(e["e2"], np.float32)
+        n_v = len(verts)
+        quad_v = np.stack([p0, p0 + e1, p0 + e2, p0 + e1 + e2])
+        quad_f = np.asarray([[0, 1, 2], [3, 2, 1]], np.int32) + n_v
+        verts = np.concatenate([verts, quad_v])
+        faces = np.concatenate([faces, quad_f])
+        m_id = name_to_id.get(e.get("material", "_emitter_black"),
+                              name_to_id.get("_emitter_black", 0))
+        mat_ids = np.concatenate(
+            [mat_ids, np.full((2,), m_id, np.int32)])
+        face_uvs = np.concatenate(
+            [face_uvs, np.zeros((2, 3, 2), np.float32)])
+        eid0 = len(area_entries)
+        face_emitter = np.concatenate(
+            [face_emitter,
+             np.asarray([eid0, eid0 + 1], np.int32)])
+        rad = e.get("radiance", [1.0, 1.0, 1.0])
+        area_entries.append({"type": "_area", "position": list(p0),
+                             "intensity": rad, "e1": list(e1),
+                             "e2": list(e2)})
+        area_entries.append({
+            "type": "_area", "position": list(p0 + e1 + e2),
+            "intensity": rad, "e1": list(-e1), "e2": list(-e2)})
 
     # emitters (sky/sun/sunsky/envmap expand per src/emitters/: sky and
     # envmap bake into the importance-sampled EnvMap; sun becomes a
@@ -253,17 +347,24 @@ def build_scene(desc: dict) -> Scene:
                     "direction": list(-sd / np.linalg.norm(sd)),
                     "intensity": list(rad * ss_mod.SUN_SOLID_ANGLE),
                 })
-        elif et not in ("sky", "envmap"):
+        elif et not in ("sky", "envmap", "area"):
             edescs.append(e)
-    _EK = dict(_EM_KINDS, _envmap=em_mod.ENVMAP)
+    # area entries go LAST so the face_emitter ids recorded above can
+    # be offset by the count of non-area entries
+    n_base = len(edescs)
+    face_emitter[face_emitter >= 0] += n_base
+    edescs.extend(area_entries)
+    _EK = dict(_EM_KINDS, _envmap=em_mod.ENVMAP, _area=em_mod.AREA)
     ekinds = [_EK[e["type"]] for e in edescs]
     epos = [e.get("position", [0, 0, 0]) for e in edescs]
     eint = [e.get("intensity", e.get("irradiance", [1, 1, 1])) for e in edescs]
     edir = [e.get("direction", [0, 0, 1]) for e in edescs]
     ecut = [e.get("cutoff", 20.0) for e in edescs]
     ebeam = [e.get("beam", 15.0) for e in edescs]
+    etri1 = [e.get("e1", [0, 0, 0]) for e in edescs]
+    etri2 = [e.get("e2", [0, 0, 0]) for e in edescs]
     emitters = em_mod.make_emitters(ekinds, epos, eint, edir, ecut, ebeam,
-                                    env=env)
+                                    tri_e1=etri1, tri_e2=etri2, env=env)
 
     # medium
     mdesc = desc.get("medium", {"type": "homogeneous",
@@ -296,6 +397,29 @@ def build_scene(desc: dict) -> Scene:
     else:
         raise ValueError(f"unknown medium type {mdesc['type']}")
 
+    # per-shape nested media (media/table.py): "media" lists the
+    # homogeneous table (id 0 = exterior), shapes carry
+    # interior_medium/exterior_medium ids
+    media_tbl = None
+    face_med_int = None
+    face_med_ext = None
+    if "media" in desc:
+        from alvrl_tpu.media.table import make_media_table
+
+        mlist = desc["media"]
+        media_tbl = make_media_table(
+            sigma_a=[mm.get("sigma_a", [0.0] * 3) for mm in mlist],
+            sigma_s=[mm.get("sigma_s", [0.0] * 3) for mm in mlist],
+            g=[mm.get("g", 0.0) for mm in mlist],
+        )
+        fmi, fme = [], []
+        for mi, me, n_f in part_media:
+            fmi += [mi] * n_f
+            fme += [me] * n_f
+        n_extra = len(faces) - len(fmi)  # area-emitter quads
+        face_med_int = np.asarray(fmi + [0] * n_extra, np.int32)
+        face_med_ext = np.asarray(fme + [0] * n_extra, np.int32)
+
     # camera
     cdesc = desc["camera"]
     camera = Camera(
@@ -306,6 +430,8 @@ def build_scene(desc: dict) -> Scene:
         aperture_radius=cdesc.get("aperture_radius", 0.0),
         focus_distance=cdesc.get("focus_distance", 1.0),
         ortho_scale=cdesc.get("ortho_scale", 1.0),
+        kc0=cdesc.get("kc0", 0.0),
+        kc1=cdesc.get("kc1", 0.0),
         width=int(cdesc.get("width", 128)),
         height=int(cdesc.get("height", 128)),
         kind=_CAM_KINDS[cdesc.get("type", "perspective")],
@@ -319,8 +445,14 @@ def build_scene(desc: dict) -> Scene:
         emitters=emitters,
         medium=medium,
         camera=camera,
+        face_emitter=jnp.asarray(face_emitter),
         face_uv=jnp.asarray(face_uvs),
         textures=jnp.asarray(textures),
+        media=media_tbl,
+        face_med_int=(None if face_med_int is None
+                      else jnp.asarray(face_med_int)),
+        face_med_ext=(None if face_med_ext is None
+                      else jnp.asarray(face_med_ext)),
     )
 
 
@@ -329,12 +461,23 @@ def build_scene(desc: dict) -> Scene:
 # ---------------------------------------------------------------------------
 
 def convert_mitsuba_xml(path, defines=None) -> dict:
-    """Convert the subset of Mitsuba 0.5 scene XML the shared validation
-    scenes use (perspective sensor, point emitters, homogeneous medium,
-    diffuse/dielectric/null BSDFs, rectangle/cube/sphere/obj/ply shapes)
-    into the JSON scene dict. Raises on unsupported constructs rather
-    than silently dropping them."""
+    """Convert Mitsuba 0.5 scene XML into the JSON scene dict.
+
+    Covered subset (scenehandler.cpp vocabulary): perspective/thinlens/
+    orthographic/spherical sensors with <transform name="toWorld">
+    (lookat/translate/rotate/scale/matrix) or <lookat>; point/spot/
+    directional/constant/envmap/sky/sun/sunsky emitters + area emitters
+    nested in rectangle shapes; the full material-kind table incl.
+    twosided unwrapping and nested refs (mask/coating/normalmap);
+    rectangle/cube/sphere/disk/cylinder/obj/ply/serialized/hair shapes;
+    homogeneous and heterogeneous (gridvolume .vol) media; integrator
+    and sampler nodes are carried as metadata ("_integrator", "_spp").
+    Raises on constructs outside this subset rather than silently
+    dropping them."""
+    import os
     import xml.etree.ElementTree as ET
+
+    base_dir = os.path.dirname(os.path.abspath(path))
 
     with open(path) as f:
         text = _substitute(f.read(), defines)
@@ -343,6 +486,9 @@ def convert_mitsuba_xml(path, defines=None) -> dict:
         raise ValueError("not a mitsuba scene file")
 
     desc = {"materials": [], "shapes": [], "emitters": []}
+
+    def vec(s):
+        return [float(x) for x in re.split(r"[ ,]+", s.strip())]
 
     def get_props(node):
         props = {}
@@ -355,90 +501,290 @@ def convert_mitsuba_xml(path, defines=None) -> dict:
             elif child.tag in ("spectrum", "rgb", "srgb"):
                 val = child.get("value")
                 if "," in val or " " in val:
-                    props[n] = [float(x) for x in re.split(r"[ ,]+", val.strip())]
+                    props[n] = vec(val)
                 else:
                     props[n] = [float(val)] * 3
-            elif child.tag == "point":
-                props[n] = [float(child.get(a, 0)) for a in "xyz"]
+            elif child.tag in ("point", "vector"):
+                if child.get("value") is not None:
+                    props[n] = vec(child.get("value"))
+                else:
+                    props[n] = [float(child.get(a, 0)) for a in "xyz"]
             elif child.tag == "boolean":
                 props[n] = child.get("value") == "true"
             elif child.tag == "string":
                 props[n] = child.get("value")
         return props
 
+    def parse_transform(node):
+        """<transform> children -> 4x4 (applied in document order)."""
+        mat = np.eye(4, dtype=np.float64)
+        for t in node:
+            if t.tag == "translate":
+                m_ = np.eye(4)
+                m_[:3, 3] = [float(t.get(a, 0)) for a in "xyz"]
+            elif t.tag == "scale":
+                m_ = np.eye(4)
+                if t.get("value") is not None:
+                    s = float(t.get("value"))
+                    m_[0, 0] = m_[1, 1] = m_[2, 2] = s
+                else:
+                    for i, a in enumerate("xyz"):
+                        m_[i, i] = float(t.get(a, 1))
+            elif t.tag == "rotate":
+                ax = np.asarray(
+                    [float(t.get(a, 0)) for a in "xyz"], np.float64)
+                ax /= max(np.linalg.norm(ax), 1e-12)
+                th = np.deg2rad(float(t.get("angle", 0)))
+                c, s = np.cos(th), np.sin(th)
+                x, y, z = ax
+                r = np.array([
+                    [c + x * x * (1 - c), x * y * (1 - c) - z * s,
+                     x * z * (1 - c) + y * s],
+                    [y * x * (1 - c) + z * s, c + y * y * (1 - c),
+                     y * z * (1 - c) - x * s],
+                    [z * x * (1 - c) - y * s, z * y * (1 - c) + x * s,
+                     c + z * z * (1 - c)],
+                ])
+                m_ = np.eye(4)
+                m_[:3, :3] = r
+            elif t.tag == "matrix":
+                vals = vec(t.get("value"))
+                m_ = np.asarray(vals, np.float64).reshape(4, 4)
+            elif t.tag == "lookat":
+                # sensor-style lookat inside a toWorld transform
+                o = np.asarray(vec(t.get("origin")))
+                tg = np.asarray(vec(t.get("target")))
+                up = np.asarray(vec(t.get("up", "0,1,0")))
+                m_ = np.asarray(look_at(o, tg, up), np.float64)
+            else:
+                raise ValueError(f"unsupported transform op {t.tag}")
+            mat = m_ @ mat
+        return mat
+
+    def resolve_path(fn):
+        if not os.path.isabs(fn):
+            return os.path.join(base_dir, fn)
+        return fn
+
+    def convert_bsdf(node, name_hint):
+        """One <bsdf> -> one or more material dicts; returns the
+        top-level name. twosided unwraps; mask/coating/normalmap/
+        mixture recurse into nested children."""
+        bt = node.get("type")
+        name = node.get("id", name_hint)
+        if bt == "twosided":
+            inner = node.find("bsdf")
+            return convert_bsdf(inner, name)
+        if bt not in _MAT_KINDS:
+            raise ValueError(f"unsupported bsdf type {bt}")
+        props = get_props(node)
+        mdesc = {"name": name, "type": bt}
+        alb = props.get("reflectance", props.get(
+            "diffuseReflectance", props.get("sigmaS")))
+        if alb is not None:
+            mdesc["albedo"] = alb
+        if "intIOR" in props:
+            mdesc["eta"] = props["intIOR"]
+        if "alpha" in props:
+            mdesc["alpha"] = props["alpha"]
+        if "exponent" in props:
+            mdesc["exponent"] = props["exponent"]
+        if "specularReflectance" in props:
+            mdesc["specular"] = props["specularReflectance"]
+        if "opacity" in props:
+            op = props["opacity"]
+            mdesc["opacity"] = op[0] if isinstance(op, list) else op
+        if "weight" in props:
+            mdesc["opacity"] = props["weight"]
+        if "sigmaA" in props:
+            mdesc["sigma_a"] = props["sigmaA"]
+        if "thickness" in props:
+            mdesc["thickness"] = props["thickness"]
+        inner_bsdfs = node.findall("bsdf")
+        if inner_bsdfs:
+            nested_names = [
+                convert_bsdf(b, f"{name}_n{i}")
+                for i, b in enumerate(inner_bsdfs)
+            ]
+            mdesc["nested"] = nested_names[0]
+            if len(nested_names) > 1:
+                mdesc["nested2"] = nested_names[1]
+        refs = node.findall("ref")
+        if refs and "nested" not in mdesc:
+            mdesc["nested"] = refs[0].get("id")
+            if len(refs) > 1:
+                mdesc["nested2"] = refs[1].get("id")
+        desc["materials"].append(mdesc)
+        return name
+
+    def convert_emitter(node):
+        et = node.get("type")
+        props = get_props(node)
+        if et == "point":
+            desc["emitters"].append({
+                "type": "point",
+                "position": props.get("position", [0, 0, 0]),
+                "intensity": props.get("intensity", [1, 1, 1]),
+            })
+        elif et in ("spot", "directional"):
+            desc["emitters"].append({
+                "type": et,
+                "position": props.get("position", [0, 0, 0]),
+                "intensity": props.get(
+                    "intensity", props.get("irradiance", [1, 1, 1])),
+                "direction": props.get("direction", [0, 0, 1]),
+            })
+        elif et == "constant":
+            desc["emitters"].append({
+                "type": "constant",
+                "intensity": props.get("radiance", [1, 1, 1]),
+            })
+        elif et == "envmap":
+            desc["emitters"].append({
+                "type": "envmap",
+                "filename": resolve_path(props["filename"]),
+                "scale": props.get("scale", 1.0),
+            })
+        elif et in ("sky", "sun", "sunsky"):
+            e = {"type": et,
+                 "turbidity": props.get("turbidity", 3.0),
+                 "scale": props.get("scale", 1.0)}
+            if "sunDirection" in props:
+                e["sun_direction"] = props["sunDirection"]
+            desc["emitters"].append(e)
+        else:
+            raise ValueError(f"unsupported emitter type {et}")
+
+    def convert_medium(node):
+        mt = node.get("type")
+        props = get_props(node)
+        if mt == "homogeneous":
+            mdesc = {
+                "type": "homogeneous",
+                "sigma_s": props.get("sigmaS", [0.5] * 3),
+                "sigma_a": props.get("sigmaA", [0.0] * 3),
+            }
+        elif mt == "heterogeneous":
+            vol = None
+            for v in node.findall("volume"):
+                if v.get("name") == "density":
+                    vol = v
+            if vol is None or vol.get("type") != "gridvolume":
+                raise ValueError(
+                    "heterogeneous medium needs a gridvolume density")
+            from alvrl_tpu.io.vol import read_vol
+
+            data, bmin, bmax = read_vol(
+                resolve_path(get_props(vol)["filename"]))
+            mdesc = {
+                "type": "grid",
+                "density": data.tolist(),
+                "box_min": bmin.tolist(),
+                "box_max": bmax.tolist(),
+                "sigma_t": props.get("sigmaT", [1.0] * 3),
+                "albedo": props.get("albedo", [0.9] * 3),
+                "scale": props.get("scale", 1.0),
+            }
+        else:
+            raise ValueError(f"unsupported medium type {mt}")
+        phase = node.find("phase")
+        if phase is not None:
+            pt = phase.get("type")
+            mdesc["phase"] = {"isotropic": "isotropic", "hg": "hg",
+                              "rayleigh": "rayleigh"}.get(pt)
+            if mdesc["phase"] is None:
+                raise ValueError(f"unsupported phase type {pt}")
+            if pt == "hg":
+                mdesc["g"] = get_props(phase).get("g", 0.0)
+        desc["medium"] = mdesc
+
+    _SHAPE_KINDS = ("rectangle", "cube", "sphere", "disk", "cylinder",
+                    "obj", "ply", "serialized", "hair")
+
+    def convert_shape(node):
+        st = node.get("type")
+        if st not in _SHAPE_KINDS:
+            raise ValueError(f"unsupported shape type {st}")
+        props = get_props(node)
+        sdesc = {"type": st}
+        tr = node.find("transform")
+        if tr is not None:
+            sdesc["to_world"] = parse_transform(tr).tolist()
+        if st in ("obj", "ply", "serialized", "hair"):
+            sdesc["filename"] = resolve_path(props["filename"])
+            if "shapeIndex" in props:
+                sdesc["shape_index"] = props["shapeIndex"]
+        if st == "sphere":
+            sdesc["center"] = props.get("center", [0, 0, 0])
+            sdesc["radius"] = props.get("radius", 1.0)
+        if st == "cylinder":
+            sdesc["p0"] = props.get("p0", [0, 0, 0])
+            sdesc["p1"] = props.get("p1", [0, 0, 1])
+            sdesc["radius"] = props.get("radius", 1.0)
+
+        inner = node.find("bsdf")
+        ref = node.find("ref")
+        if inner is not None:
+            sdesc["material"] = convert_bsdf(
+                inner, f"shape{len(desc['shapes'])}_mat")
+        elif ref is not None:
+            sdesc["material"] = ref.get("id")
+        else:
+            sdesc["material"] = "default"
+
+        # area emitter nested in a rectangle shape -> quad light
+        em = node.find("emitter")
+        if em is not None:
+            if em.get("type") != "area" or st != "rectangle":
+                raise ValueError(
+                    "only area emitters on rectangle shapes convert")
+            rad = get_props(em).get("radiance", [1, 1, 1])
+            tw = np.asarray(sdesc.get("to_world", np.eye(4)), np.float64)
+            corners = shp.apply_transform(
+                tw, np.asarray([[-1, -1, 0], [1, -1, 0], [-1, 1, 0]],
+                               np.float32))
+            p0 = corners[0]
+            desc["emitters"].append({
+                "type": "area", "p0": p0.tolist(),
+                "e1": (corners[1] - p0).tolist(),
+                "e2": (corners[2] - p0).tolist(),
+                "radiance": rad,
+            })
+            return  # the loader emits the quad geometry itself
+        desc["shapes"].append(sdesc)
+
     for node in root:
         if node.tag == "sensor":
             props = get_props(node)
             cam = {"type": node.get("type", "perspective"),
                    "fov": props.get("fov", 60.0)}
+            if "apertureRadius" in props:
+                cam["aperture_radius"] = props["apertureRadius"]
+            if "focusDistance" in props:
+                cam["focus_distance"] = props["focusDistance"]
             lookat = node.find(".//lookat")
             if lookat is not None:
-                cam["origin"] = [float(x) for x in re.split(r"[ ,]+", lookat.get("origin").strip())]
-                cam["target"] = [float(x) for x in re.split(r"[ ,]+", lookat.get("target").strip())]
-                cam["up"] = [float(x) for x in re.split(r"[ ,]+", lookat.get("up", "0, 1, 0").strip())]
+                cam["origin"] = vec(lookat.get("origin"))
+                cam["target"] = vec(lookat.get("target"))
+                cam["up"] = vec(lookat.get("up", "0, 1, 0"))
             film = node.find("film")
             if film is not None:
                 fprops = get_props(film)
                 cam["width"] = fprops.get("width", 128)
                 cam["height"] = fprops.get("height", 128)
+            sampler = node.find("sampler")
+            if sampler is not None:
+                desc["_spp"] = get_props(sampler).get("sampleCount", 16)
             desc["camera"] = cam
+        elif node.tag == "integrator":
+            desc["_integrator"] = node.get("type")
+            desc["_integrator_props"] = get_props(node)
         elif node.tag == "emitter":
-            et = node.get("type")
-            props = get_props(node)
-            if et == "point":
-                desc["emitters"].append({
-                    "type": "point",
-                    "position": props.get("position", [0, 0, 0]),
-                    "intensity": props.get("intensity", [1, 1, 1]),
-                })
-            elif et in ("spot", "directional"):
-                desc["emitters"].append({
-                    "type": et,
-                    "position": props.get("position", [0, 0, 0]),
-                    "intensity": props.get(
-                        "intensity", props.get("irradiance", [1, 1, 1])
-                    ),
-                    "direction": props.get("direction", [0, 0, 1]),
-                })
-            else:
-                raise ValueError(f"unsupported emitter type {et}")
+            convert_emitter(node)
         elif node.tag == "medium":
-            props = get_props(node)
-            desc["medium"] = {
-                "type": "homogeneous",
-                "sigma_s": props.get("sigmaS", [0.5] * 3),
-                "sigma_a": props.get("sigmaA", [0.0] * 3),
-            }
-            phase = node.find("phase")
-            if phase is not None:
-                pt = phase.get("type")
-                desc["medium"]["phase"] = pt
-                if pt == "hg":
-                    desc["medium"]["g"] = get_props(phase).get("g", 0.0)
+            convert_medium(node)
         elif node.tag == "bsdf":
-            bt = node.get("type")
-            if bt not in _MAT_KINDS:
-                raise ValueError(f"unsupported bsdf type {bt}")
-            props = get_props(node)
-            desc["materials"].append({
-                "name": node.get("id", f"mat{len(desc['materials'])}"),
-                "type": bt,
-                "albedo": props.get("reflectance", props.get(
-                    "diffuseReflectance", [0.5] * 3)),
-                "eta": props.get("intIOR", 1.5) if bt == "dielectric" else 1.0,
-            })
+            convert_bsdf(node, f"mat{len(desc['materials'])}")
         elif node.tag == "shape":
-            st = node.get("type")
-            props = get_props(node)
-            ref = node.find("ref")
-            mat = ref.get("id") if ref is not None else "default"
-            sdesc = {"type": st, "material": mat}
-            if st in ("obj", "ply"):
-                sdesc["filename"] = props["filename"]
-            elif st == "sphere":
-                sdesc["center"] = props.get("center", [0, 0, 0])
-                sdesc["radius"] = props.get("radius", 1.0)
-            elif st not in ("rectangle", "cube"):
-                raise ValueError(f"unsupported shape type {st}")
-            desc["shapes"].append(sdesc)
+            convert_shape(node)
     return desc
