@@ -107,3 +107,24 @@ def join_rgb(r, g, b):
          for x in (r, g, b)],
         axis=-1,
     ).astype(np.float32)
+
+
+def tonemap(img, key: float = 0.18, gamma: float = 2.2,
+            burn: float = 0.0):
+    """Photographic (Reinhard) tonemapping + gamma — the mtsutil
+    `tonemap` utility (src/utils/tonemap.cpp). Returns [0, 1] floats;
+    feed to write_png for LDR output."""
+    img = np.asarray(img, np.float32)
+    lum = (0.212671 * img[..., 0] + 0.715160 * img[..., 1]
+           + 0.072169 * img[..., 2])
+    avg = np.exp(np.log(np.maximum(lum, 1e-6)).mean())
+    scaled = img * (key / max(avg, 1e-12))
+    l_s = lum * (key / max(avg, 1e-12))
+    if burn > 0.0:
+        white2 = (burn * l_s.max()) ** 2
+        mapped = l_s * (1.0 + l_s / max(white2, 1e-12)) / (1.0 + l_s)
+    else:
+        mapped = l_s / (1.0 + l_s)
+    ratio = np.where(l_s > 0, mapped / np.maximum(l_s, 1e-12), 0.0)
+    out = np.clip(scaled * ratio[..., None], 0.0, 1.0)
+    return out ** (1.0 / gamma)

@@ -74,6 +74,18 @@ _PLY_TYPES = {
 
 def load_ply(path):
     """ASCII and binary-little/big-endian PLY. Returns (verts, faces)."""
+    v, f, _ = load_ply_uv(path)
+    return v, f
+
+
+_PLY_UV_NAMES = [("s", "t"), ("u", "v"), ("texture_u", "texture_v")]
+
+
+def load_ply_uv(path):
+    """PLY with per-vertex texture coordinates (s/t, u/v or
+    texture_u/texture_v properties — ply.cpp texcoord support).
+    Returns (verts, faces, face_uv (F, 3, 2); zeros when absent)."""
+    vert_uv = None
     with open(path, "rb") as f:
         assert f.readline().strip() == b"ply"
         fmt = None
@@ -110,6 +122,13 @@ def load_ply(path):
                         [[float(r[ix]), float(r[iy]), float(r[iz])] for r in rows],
                         np.float32,
                     )
+                    for un, vn in _PLY_UV_NAMES:
+                        if un in names and vn in names:
+                            iu, iv = names.index(un), names.index(vn)
+                            vert_uv = np.asarray(
+                                [[float(r[iu]), float(r[iv])]
+                                 for r in rows], np.float32)
+                            break
                 elif name == "face":
                     for r in rows:
                         n = int(r[0])
@@ -133,6 +152,13 @@ def load_ply(path):
                     verts = np.asarray(
                         [[d[ix], d[iy], d[iz]] for d in data], np.float32
                     )
+                    for un, vn in _PLY_UV_NAMES:
+                        if un in names and vn in names:
+                            iu, iv = names.index(un), names.index(vn)
+                            vert_uv = np.asarray(
+                                [[d[iu], d[iv]] for d in data],
+                                np.float32)
+                            break
                 elif name == "face":
                     p = props[0]
                     cnt_fmt, cnt_sz = _PLY_TYPES[p[1]]
@@ -152,7 +178,12 @@ def load_ply(path):
                         _PLY_TYPES[p[1]][0] for p in props if p[0] == "scalar"
                     )
                     f.read(_struct.calcsize(fmt_str) * count)
-    return verts, np.asarray(faces, np.int32).reshape(-1, 3)
+    faces = np.asarray(faces, np.int32).reshape(-1, 3)
+    if vert_uv is not None:
+        face_uv = vert_uv[faces]
+    else:
+        face_uv = np.zeros((len(faces), 3, 2), np.float32)
+    return verts, faces, face_uv
 
 
 # ---------------------------------------------------------------------------

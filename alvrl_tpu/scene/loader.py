@@ -230,7 +230,7 @@ def build_scene(desc: dict) -> Scene:
             if tw is not None:
                 v = shp.apply_transform(tw, v)
         elif st == "ply":
-            v, f = mesh_io.load_ply(sdesc["filename"])
+            v, f, face_uv = mesh_io.load_ply_uv(sdesc["filename"])
             if tw is not None:
                 v = shp.apply_transform(tw, v)
         elif st == "serialized":

@@ -47,3 +47,33 @@ def test_matches_external_exr_if_available(tmp_path):
         import OpenEXR  # noqa: F401
     except ImportError:
         pytest.skip("no OpenEXR binding in the image")
+
+
+def test_tonemap():
+    from alvrl_tpu.io.image import tonemap
+
+    rng = np.random.default_rng(0)
+    hdr = rng.gamma(2.0, 2.0, (16, 16, 3)).astype(np.float32)
+    ldr = tonemap(hdr)
+    assert ldr.shape == hdr.shape
+    assert (ldr >= 0).all() and (ldr <= 1).all()
+    # monotone in exposure: brighter input -> brighter (or equal) output
+    ldr2 = tonemap(hdr * 4.0)
+    assert ldr2.mean() >= ldr.mean() - 1e-6
+
+
+def test_ply_uv(tmp_path):
+    from alvrl_tpu.io import mesh as M
+
+    ply = (
+        "ply\nformat ascii 1.0\nelement vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float s\nproperty float t\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0 0.0 0.0\n1 0 0 1.0 0.0\n0 1 0 0.0 1.0\n3 0 1 2\n"
+    )
+    p = tmp_path / "m.ply"
+    p.write_text(ply)
+    v, f, uv = M.load_ply_uv(p)
+    np.testing.assert_allclose(uv[0], [[0, 0], [1, 0], [0, 1]])
