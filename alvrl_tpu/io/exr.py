@@ -66,8 +66,27 @@ def write_exr(path, img, half: bool = True,
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
-    h, w, c = img.shape
+    c = img.shape[2]
     names = {1: ["Y"], 3: ["R", "G", "B"], 4: ["R", "G", "B", "A"]}[c]
+    write_exr_channels(
+        path, {n: img[..., i] for i, n in enumerate(names)},
+        half=half, compression=compression)
+
+
+def write_exr_channels(path, channels: dict, half: bool = True,
+                       compression: str = "zip") -> None:
+    """Write named scalar channels {name: (H, W) f32} as one EXR part.
+
+    The multichannel-film path (multichannel.cpp + hdrfilm channel
+    naming): arbitrary channel names, stored alphabetically as the EXR
+    spec requires; all channels share the data window."""
+    items = [(n, np.asarray(a, np.float32)) for n, a in channels.items()]
+    h, w = items[0][1].shape
+    for n, a in items:
+        if a.shape != (h, w):
+            raise ValueError(f"channel {n!r} shape {a.shape} != {(h, w)}")
+    img = np.stack([a for _, a in items], axis=-1)
+    names = [n for n, _ in items]
     comp = {"none": _COMP_NONE, "zips": _COMP_ZIPS, "zip": _COMP_ZIP}[
         compression.lower()]
     pt = _PT_HALF if half else _PT_FLOAT

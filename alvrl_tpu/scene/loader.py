@@ -270,6 +270,13 @@ def build_scene(desc: dict) -> Scene:
     ]
     verts, faces, mat_ids, face_uvs = shp.merge(parts)
     face_emitter = np.full((len(faces),), -1, np.int32)
+    # high-level shape index per face (the field integrator's shapeIndex
+    # AOV, misc/field.cpp) — shapes in declaration order, then one index
+    # per area-emitter quad
+    face_shape = np.concatenate(
+        [np.full((len(p[1]),), i, np.int32) for i, p in enumerate(parts)]
+    ) if parts else np.zeros((0,), np.int32)
+    n_shapes = len(parts)
 
     # append area-emitter quads as geometry (two triangles / two
     # emitter-table entries each, like the reference's area.cpp shapes)
@@ -293,6 +300,9 @@ def build_scene(desc: dict) -> Scene:
         face_emitter = np.concatenate(
             [face_emitter,
              np.asarray([eid0, eid0 + 1], np.int32)])
+        face_shape = np.concatenate(
+            [face_shape, np.full((2,), n_shapes, np.int32)])
+        n_shapes += 1
         rad = e.get("radiance", [1.0, 1.0, 1.0])
         area_entries.append({"type": "_area", "position": list(p0),
                              "intensity": rad, "e1": list(e1),
@@ -453,6 +463,7 @@ def build_scene(desc: dict) -> Scene:
                       else jnp.asarray(face_med_int)),
         face_med_ext=(None if face_med_ext is None
                       else jnp.asarray(face_med_ext)),
+        face_shape=jnp.asarray(face_shape),
     )
 
 

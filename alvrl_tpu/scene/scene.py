@@ -155,6 +155,10 @@ class Scene:
     media: object = None               # MediaTable | None
     face_med_int: jax.Array = None     # (T,) i32 id into `media`
     face_med_ext: jax.Array = None     # (T,) i32 id into `media`
+    face_shape: jax.Array = None       # (T,) i32 high-level shape index
+                                       # (the reference's shape list order;
+                                       # used by the `field` integrator's
+                                       # shapeIndex AOV, field.cpp)
 
     def __post_init__(self):
         if self.face_emitter is None:
@@ -179,6 +183,11 @@ class Scene:
         if self.face_med_ext is None:
             object.__setattr__(
                 self, "face_med_ext",
+                jnp.zeros((self.faces.shape[0],), jnp.int32),
+            )
+        if self.face_shape is None:
+            object.__setattr__(
+                self, "face_shape",
                 jnp.zeros((self.faces.shape[0],), jnp.int32),
             )
 

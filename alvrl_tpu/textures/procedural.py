@@ -35,7 +35,7 @@ def bitmap_lookup(textures, tex_id, uv):
     """Bilinear sample of textures[tex_id] at uv in [0,1)^2 (wrapped).
     textures: (K, H, W, 3); v runs top-down (image rows)."""
     k, h, w = textures.shape[0], textures.shape[1], textures.shape[2]
-    img = textures[jnp.clip(tex_id, 0, k - 1)]
+    tid = jnp.clip(tex_id, 0, k - 1)
     u = uv[..., 0] - jnp.floor(uv[..., 0])
     v = uv[..., 1] - jnp.floor(uv[..., 1])
     x = u * w - 0.5
@@ -48,10 +48,13 @@ def bitmap_lookup(textures, tex_id, uv):
     x1w = jnp.mod(x0 + 1, w)
     y0c = jnp.clip(y0, 0, h - 1)
     y1c = jnp.clip(y0 + 1, 0, h - 1)
-    c00 = img[y0c, x0w]
-    c01 = img[y0c, x1w]
-    c10 = img[y1c, x0w]
-    c11 = img[y1c, x1w]
+    # joint (texture, row, col) gather: broadcasts for batched tex_id
+    # (per-lane scalar indexing under vmap also lowers to this)
+    tid = jnp.broadcast_to(tid, y0c.shape)
+    c00 = textures[tid, y0c, x0w]
+    c01 = textures[tid, y0c, x1w]
+    c10 = textures[tid, y1c, x0w]
+    c11 = textures[tid, y1c, x1w]
     return ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
             + (c10 * (1 - fx) + c11 * fx) * fy)
 
