@@ -53,6 +53,10 @@ class VolpathConfig:
     # BSDF/phase sampling); active only for the plain tracer — the
     # onlyVRLpaths oracle keeps its validated single-strategy gating
     mis: bool = struct.field(pytree_node=False, default=True)
+    # ERadianceNoEmission: drop directly-visible (depth-1) emission —
+    # used by callers that account for it separately (the irradiance
+    # cache's gather rays, irrcache.cpp:311-312)
+    first_emission: bool = struct.field(pytree_node=False, default=True)
 
 
 def _nee_point_light(scene: Scene, key, p, med_id=None):
@@ -175,6 +179,8 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
                 state["prev_pdf"]
                 / jnp.maximum(state["prev_pdf"] + p_env, 1e-30),
             )
+        if not cfg.first_emission:
+            env_gate = env_gate & (depth != 1)
         li_env = jnp.where(
             env_gate[..., None],
             state["throughput"] * ms.w_pass * env_l * w_env,
@@ -272,6 +278,8 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
                 state["prev_pdf"]
                 / jnp.maximum(state["prev_pdf"] + p_nee_hit, 1e-30),
             )
+        if not cfg.first_emission:
+            le_gate = le_gate & (depth != 1)
         le_val = scene.emitters.intensity[jnp.maximum(emit_id, 0)]
         li_emit = jnp.where(
             le_gate[..., None], tp_surf_pre * le_val * w_hit, 0.0
