@@ -29,13 +29,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from alvrl_tpu.bsdf import lobes
 from alvrl_tpu.bsdf import microfacet as mf
 from alvrl_tpu.core import math as m
 from alvrl_tpu.core import rng, warp
 from alvrl_tpu.scene.scene import (
-    COATING, DIELECTRIC, DIFFTRANS, DIFFUSE, HK, MASK, MIXTURE,
+    COATING, DIELECTRIC, DIFFTRANS, DIFFUSE, HK, IRAWAN, MASK, MIXTURE,
     NORMALMAP, PHONG, PLASTIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC, WARD,
     Scene,
 )
@@ -138,7 +139,7 @@ def eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
         mats.exponent[mat_id], mats.alpha[mat_id],
     )
 
-    return jnp.where(
+    out = jnp.where(
         (kind == MASK)[..., None], w * f_n1,
         jnp.where(
             (kind == MIXTURE)[..., None], w * f_n1 + (1.0 - w) * f_n2,
@@ -152,6 +153,13 @@ def eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
             ),
         ),
     )
+    if scene.weave is not None:
+        from alvrl_tpu.bsdf import irawan as irw
+
+        uv_w = uv if uv is not None else jnp.zeros(wi_l.shape[:-1] + (2,))
+        f_ir = irw.eval_raw(scene.weave, uv_w, wi_l, wo_l)
+        out = jnp.where((kind == IRAWAN)[..., None], f_ir, out)
+    return out
 
 
 def _leaf_pdf_local(scene: Scene, mat_id, wi_l, wo_l):
@@ -176,7 +184,7 @@ def _leaf_pdf_local(scene: Scene, mat_id, wi_l, wo_l):
     pdf_pl = (1.0 - fi) * pdf_cos
 
     return jnp.where(
-        kind == DIFFUSE, pdf_cos,
+        (kind == DIFFUSE) | (kind == IRAWAN), pdf_cos,
         jnp.where(
             kind == ROUGH_CONDUCTOR, pdf_ggx,
             jnp.where(
@@ -413,12 +421,23 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
     wo_l = jnp.where(hk_scat[..., None], wo_hk_l, wo_l)
     weight = jnp.where(hk_scat[..., None], w_hk, weight)
 
+    # woven cloth: cosine direction (the default wo), weight f*cos/pdf
+    # = eval * pi / cos (irawan.cpp:336-371)
+    if scene.weave is not None:
+        from alvrl_tpu.bsdf import irawan as irw
+
+        uv_w = uv if uv is not None else jnp.zeros(wi_l.shape[:-1] + (2,))
+        f_ir = irw.eval_raw(scene.weave, uv_w, wi_l, wo_diffuse_l)
+        w_ir = f_ir * (np.pi / jnp.maximum(
+            wo_diffuse_l[..., 2], 1e-6))[..., None]
+        weight = jnp.where((kind == IRAWAN)[..., None], w_ir, weight)
+
     wo_world = m.frame_to_world(s_f, t_f, ng, wo_l)
 
     smooth_kinds = (
         (kind == DIFFUSE) | (kind == ROUGH_CONDUCTOR)
         | (kind == ROUGH_PLASTIC) | (kind == PHONG) | (kind == WARD)
-        | (kind == DIFFTRANS) | (kind == PLASTIC)
+        | (kind == DIFFTRANS) | (kind == PLASTIC) | (kind == IRAWAN)
     )
     sampled_delta = (is_delta_kind | ((kind == PLASTIC) & pl_delta)
                      | coat_refl | hk_delta)

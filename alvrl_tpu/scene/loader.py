@@ -45,6 +45,7 @@ from alvrl_tpu.scene.scene import (
     DIFFTRANS,
     DIFFUSE,
     HK,
+    IRAWAN,
     MASK,
     MIRROR,
     MIXTURE,
@@ -76,7 +77,7 @@ _MAT_KINDS = {
     "difftrans": DIFFTRANS, "mask": MASK, "mixturebsdf": MIXTURE,
     "blendbsdf": MIXTURE, "mixture": MIXTURE, "coating": COATING,
     "roughcoating": COATING, "normalmap": NORMALMAP,
-    "bumpmap": NORMALMAP, "hk": HK,
+    "bumpmap": NORMALMAP, "hk": HK, "irawan": IRAWAN,
 }
 _CAM_KINDS = {
     "perspective": PERSPECTIVE, "thinlens": THINLENS,
@@ -188,6 +189,34 @@ def build_scene(desc: dict) -> Scene:
         opacity=opacities, nested=nesteds, nested2=nested2s,
         tex_id=tex_ids,
     )
+    # woven-cloth weave pattern (one per scene; irawan.cpp's external
+    # pattern file becomes a preset name or an inline dict)
+    weave = None
+    for mdesc in mats:
+        if mdesc["type"] != "irawan":
+            continue
+        from alvrl_tpu.bsdf import irawan as irw
+
+        wd = mdesc.get("weave", "plain")
+        if wd == "plain":
+            weave = irw.plain_weave(
+                kd=mdesc.get("kd", (0.3, 0.3, 0.45)),
+                ks=mdesc.get("ks", (0.4, 0.4, 0.5)),
+                repeat_u=mdesc.get("repeat_u", 8.0),
+                repeat_v=mdesc.get("repeat_v", 8.0))
+        elif wd == "silk":
+            weave = irw.silk_like_weave(
+                kd=mdesc.get("kd", (0.1, 0.1, 0.15)),
+                ks=mdesc.get("ks", (0.9, 0.9, 1.0)),
+                repeat_u=mdesc.get("repeat_u", 12.0),
+                repeat_v=mdesc.get("repeat_v", 12.0))
+        elif isinstance(wd, dict):
+            weave = irw.make_pattern(**wd)
+        else:
+            raise ValueError(f"unknown weave {wd!r}")
+        weave = irw.normalize_pattern(weave)
+        break
+
     if bitmap_imgs:
         shapes_set = {im.shape[:2] for im in bitmap_imgs}
         if len(shapes_set) > 1:
@@ -464,6 +493,7 @@ def build_scene(desc: dict) -> Scene:
         face_med_ext=(None if face_med_ext is None
                       else jnp.asarray(face_med_ext)),
         face_shape=jnp.asarray(face_shape),
+        weave=weave,
     )
 
 

@@ -43,6 +43,8 @@ NORMALMAP = 13  # tangent-space normal texture (tex_id) shading the
 HK = 14       # Hanrahan-Krueger single-scattering slab (hk.cpp):
               # albedo = sigma_s, albedo2 = sigma_a, exponent =
               # thickness, alpha = HG phase mean cosine
+IRAWAN = 15   # Irawan-Marschner woven cloth (irawan.cpp); the weave
+              # pattern lives in Scene.weave (bsdf/irawan.py)
 
 
 @struct.dataclass
@@ -159,6 +161,8 @@ class Scene:
                                        # (the reference's shape list order;
                                        # used by the `field` integrator's
                                        # shapeIndex AOV, field.cpp)
+    weave: object = None               # bsdf.irawan.WeavePattern for
+                                       # IRAWAN materials (one per scene)
 
     def __post_init__(self):
         if self.face_emitter is None:
