@@ -232,6 +232,8 @@ def build_scene(desc: dict) -> Scene:
     # shapes (UVs: analytic parameterizations for rectangle/cube/sphere,
     # vt records for OBJ; PLY untextured for now)
     parts = []
+    parts_v1 = []
+    any_deform = False
     for sdesc in desc.get("shapes", []):
         st = sdesc["type"]
         tw = sdesc.get("to_world")
@@ -292,12 +294,25 @@ def build_scene(desc: dict) -> Scene:
             raise ValueError(f"unknown shape type {st}")
         parts.append((v, f, name_to_id[sdesc.get("material", "default")],
                       face_uv))
+        # deformable shapes (deformable.cpp): a time-1 keyframe from a
+        # second rigid transform (v = (tw or I) @ base, so the relative
+        # transform tw1 @ inv(tw) maps the stored verts to time 1)
+        tw1 = sdesc.get("to_world_t1")
+        if tw1 is not None:
+            tw1 = np.asarray(tw1, np.float32)
+            rel = tw1 @ np.linalg.inv(tw) if tw is not None else tw1
+            parts_v1.append(shp.apply_transform(rel, v))
+            any_deform = True
+        else:
+            parts_v1.append(v)
     part_media = [
         (sdesc.get("interior_medium", 0), sdesc.get("exterior_medium", 0),
          len(parts[i][1]))
         for i, sdesc in enumerate(desc.get("shapes", []))
     ]
     verts, faces, mat_ids, face_uvs = shp.merge(parts)
+    verts_t1 = (np.concatenate(parts_v1, axis=0)
+                if any_deform and parts_v1 else None)
     face_emitter = np.full((len(faces),), -1, np.int32)
     # high-level shape index per face (the field integrator's shapeIndex
     # AOV, misc/field.cpp) — shapes in declaration order, then one index
@@ -318,6 +333,8 @@ def build_scene(desc: dict) -> Scene:
         quad_v = np.stack([p0, p0 + e1, p0 + e2, p0 + e1 + e2])
         quad_f = np.asarray([[0, 1, 2], [3, 2, 1]], np.int32) + n_v
         verts = np.concatenate([verts, quad_v])
+        if verts_t1 is not None:
+            verts_t1 = np.concatenate([verts_t1, quad_v])
         faces = np.concatenate([faces, quad_f])
         m_id = name_to_id.get(e.get("material", "_emitter_black"),
                               name_to_id.get("_emitter_black", 0))
@@ -494,6 +511,7 @@ def build_scene(desc: dict) -> Scene:
                       else jnp.asarray(face_med_ext)),
         face_shape=jnp.asarray(face_shape),
         weave=weave,
+        vertices_t1=(None if verts_t1 is None else jnp.asarray(verts_t1)),
     )
 
 

@@ -163,6 +163,11 @@ class Scene:
                                        # shapeIndex AOV, field.cpp)
     weave: object = None               # bsdf.irawan.WeavePattern for
                                        # IRAWAN materials (one per scene)
+    vertices_t1: jax.Array = None      # (V, 3) time-1 keyframe for
+                                       # deformable/animated shapes
+                                       # (deformable.cpp; time 0 =
+                                       # `vertices`; see integrators/
+                                       # motion.py)
 
     def __post_init__(self):
         if self.face_emitter is None:
