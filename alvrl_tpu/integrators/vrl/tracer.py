@@ -42,6 +42,18 @@ class TracerConfig:
     max_depth: int = struct.field(pytree_node=False, default=16)
     rr_depth: int = struct.field(pytree_node=False, default=5)
     short_vrls: bool = struct.field(pytree_node=False, default=True)
+    # Score-function surrogate for the phase-sampling distribution's
+    # parameter dependence: multiply the throughput by
+    # phase(g; wi, wo)/stop_grad(phase(...)) at each phase sample. The
+    # factor is 1 in value; its derivative is d/dg log phase — exactly
+    # the REINFORCE term the detached-sampling estimator drops (HG
+    # sampling is a perfect importance sampler, so the g-dependence
+    # lives entirely in the sampling distribution). Combined with the
+    # detached free-flight weights (media/api.py) this makes the FULL
+    # trace->render pipeline gradient unbiased for sigma_a/sigma_s/g/
+    # intensity, with sampled geometry (positions, directions) detached
+    # for stability (the pathwise chains measured to explode).
+    score_phase: bool = struct.field(pytree_node=False, default=True)
 
 
 def _sample_emission(scene: Scene, key):
@@ -139,6 +151,15 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
         wo_phase, w_phase, _ = ph.sample_phase(
             med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
         )
+        # geometry detached: the sampled direction's pathwise d(wo)/dg
+        # chain is replaced by the score surrogate below
+        wo_phase = jax.lax.stop_gradient(wo_phase)
+        if cfg.score_phase and med.phase_kind == ph.HG:
+            ph_val = ph.eval_phase(
+                med.phase_kind, med.g, -state["ray_d"], wo_phase)
+            ratio = ph_val / jax.lax.stop_gradient(
+                jnp.maximum(ph_val, 1e-30))
+            w_phase = w_phase * ratio
         beta_med = state["beta"] * factor_med * w_phase[..., None]
         tp_med = state["tp"] * factor_med * w_phase[..., None]
         if cfg.short_vrls:
@@ -177,8 +198,12 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
         )
 
         # --- next state ----------------------------------------------
-        new_o = jnp.where(medium_event[..., None], p_scatter, hit.p)
-        new_d = jnp.where(medium_event[..., None], wo_phase, wo_bsdf)
+        # positions/directions detached (detached-sampling contract;
+        # powers and the score surrogates carry all theta dependence)
+        new_o = jax.lax.stop_gradient(
+            jnp.where(medium_event[..., None], p_scatter, hit.p))
+        new_d = jax.lax.stop_gradient(
+            jnp.where(medium_event[..., None], wo_phase, wo_bsdf))
         new_beta = jnp.where(medium_event[..., None], beta_med, beta_surf)
         new_tp = jnp.where(medium_event[..., None], tp_med, tp_surf)
         survive = (medium_event & med_store_ok) | (surface_event & ~bsdf_dead)
