@@ -63,6 +63,11 @@ def _li_tiled(scene: Scene, li_fn, key, o, d):
         return jax.vmap(lambda oo, dd, kk: li_fn(scene, oo, dd, kk))(
             o_t, d_t, keys)
 
+    if n_t == 1:
+        # single tile: skip the scan (faster, and a multi-tile scan
+        # compiled earlier in the process poisons a later length-1 scan
+        # of the same body in this jax build's dispatch cache)
+        return tile_fn((jnp.int32(0), op, dp))[:n]
     li = jax.lax.map(
         tile_fn,
         (jnp.arange(n_t), op.reshape(n_t, tile, 3),
@@ -71,43 +76,56 @@ def _li_tiled(scene: Scene, li_fn, key, o, d):
     return li.reshape(-1, 3)[:n]
 
 
-def _avg_luminance(scene: Scene, key, li_fn, n_samples: int = 10240):
-    """Average image-plane luminance (adaptive.cpp preprocess,
-    nSamples=10000 random positions). Implemented through the same
-    jit-compiled sampling round as the main loop (random pixels x
-    base_spp sub-pixel jitters == uniform image-plane positions)."""
-    n_pix = min(2048, n_samples)
-    spp = -(-n_samples // n_pix)
-    k1, k2 = jax.random.split(jnp.asarray(key))
-    u = jax.random.uniform(k1, (n_pix, 2))
-    px = jnp.floor(u[:, 0] * scene.camera.width).astype(jnp.int32)
-    py = jnp.floor(u[:, 1] * scene.camera.height).astype(jnp.int32)
-    _, sum_lum, _ = _round(scene, px, py, k2, li_fn, spp)
-    return jnp.sum(sum_lum) / (n_pix * spp)
+_AVG_SAMPLES = 10240
 
 
-# keep_unused: with argument DCE on, the second same-signature dispatch
-# of this function trips a pruned-argument-count mismatch in the C++
-# fastpath (jax 0.9.0: "Execution supplied 53 buffers but compiled
-# program expected 86"); keeping unused scene leaves makes the python
-# and fastpath argument sets identical.
-@partial(jax.jit, static_argnames=("li_fn", "base_spp"),
-         keep_unused=True)
-def _round(scene: Scene, px, py, key, li_fn, base_spp: int):
-    """base_spp jittered samples for the given pixel list; returns
-    (sum_rgb (N,3), sum_lum (N,), sum_lum2 (N,))."""
-    n = px.shape[0]
+def _round_fun(li_fn, base_spp: int, n: int):
+    """The sampling-round computation for one (sub-integrator, spp, n)."""
 
-    def one_spp(i):
-        k = rng.fold(key, i)
-        jit_u = jax.random.uniform(rng.fold(k, 1), (n, 2))
-        o, d = perspective.sample_ray(scene.camera, px, py, jitter=jit_u)
-        li = _li_tiled(scene, li_fn, rng.fold(k, 2), o, d)
+    def f(scene: Scene, px, py, key):
+        k1, k2 = jax.random.split(jnp.asarray(key))
+        jit_u = jax.random.uniform(k1, (base_spp * n, 2))
+        px_r = jnp.tile(px, base_spp)
+        py_r = jnp.tile(py, base_spp)
+        o, d = perspective.sample_ray(scene.camera, px_r, py_r,
+                                      jitter=jit_u)
+        li = _li_tiled(scene, li_fn, k2, o, d)
+        li = li.reshape(base_spp, n, 3)
         lum = spec.luminance(li)
-        return li, lum, lum * lum
+        return li.sum(0), lum.sum(0), (lum * lum).sum(0)
 
-    li, lum, lum2 = jax.lax.map(one_spp, jnp.arange(base_spp))
-    return li.sum(0), lum.sum(0), lum2.sum(0)
+    return f
+
+
+class _Round:
+    """ONE AOT-compiled fixed-size sampling round per adaptive render.
+
+    Multiple differently-sized instances of this computation in one
+    process trip a dispatch bug in the bundled jax build: after a
+    second size is traced, executables' parameter lists disagree with
+    the dispatch path's argument lists ("Execution supplied 53 buffers
+    but compiled program expected 86/96") — under plain jit,
+    keep_unused, per-signature jit objects, scene-as-closure, AOT
+    compilation, and any compile/warm ordering tried. A single
+    fixed-size executable per (scene, li_fn) sidesteps the bug
+    entirely — and the fixed batch is not a compromise: instead of
+    compacting a shrinking active set, each round PACKS REPEATS of the
+    active pixels into the full batch (per-lane keys/jitters are
+    already independent), so device utilization stays at 100% and
+    unconverged pixels converge in fewer rounds.
+    """
+
+    def __init__(self, scene, li_fn, base_spp: int, n: int):
+        self.n = n
+        self.base_spp = base_spp
+        key = jax.random.key(0)
+        z = jnp.zeros((n,), jnp.int32)
+        self._c = jax.jit(
+            _round_fun(li_fn, base_spp, n)
+        ).lower(scene, z, z, key).compile()
+
+    def __call__(self, scene, px, py, key):
+        return self._c(scene, px, py, key)
 
 
 def render_adaptive(
@@ -133,14 +151,28 @@ def render_adaptive(
     w, h = cam.width, cam.height
     n_pix = w * h
     quantile = NormalDist().inv_cdf(1.0 - p_value / 2.0)
-    if avg_luminance is None:
-        avg_luminance = float(_avg_luminance(scene, rng.fold(key, 999),
-                                             li_fn))
     max_rounds = max_sample_factor if max_sample_factor >= 0 else 256
+
+    top = 1 << max(8, int(np.ceil(np.log2(n_pix))))
+    rnd_exec = _Round(scene, li_fn, base_spp, top)
 
     px_all, py_all = np.meshgrid(np.arange(w), np.arange(h))
     px_all = px_all.reshape(-1).astype(np.int32)
     py_all = py_all.reshape(-1).astype(np.int32)
+
+    if avg_luminance is None:
+        # adaptive.cpp preprocess: ~10k random image-plane samples,
+        # through the same compiled round
+        n_avg_rounds = max(1, -(-_AVG_SAMPLES // (top * base_spp)))
+        tot = 0.0
+        for i in range(n_avg_rounds):
+            k1, k2 = jax.random.split(rng.fold(key, 999, i))
+            u = jax.random.uniform(k1, (top, 2))
+            apx = jnp.floor(u[:, 0] * w).astype(jnp.int32)
+            apy = jnp.floor(u[:, 1] * h).astype(jnp.int32)
+            _, s_lum, _ = rnd_exec(scene, apx, apy, k2)
+            tot += float(jnp.sum(s_lum))
+        avg_luminance = tot / (n_avg_rounds * top * base_spp)
 
     sum_rgb = np.zeros((n_pix, 3), np.float32)
     sum_lum = np.zeros((n_pix,), np.float32)
@@ -151,22 +183,28 @@ def render_adaptive(
     for rnd in range(max_rounds):
         if active.size == 0:
             break
-        # pad the active set to a power-of-two bucket (bounded number of
-        # distinct compiled shapes)
-        bucket = 1 << max(8, int(np.ceil(np.log2(active.size))))
-        pad = bucket - active.size
-        idx = np.concatenate([active, np.zeros(pad, active.dtype)])
-        r_rgb, r_lum, r_lum2 = _round(
+        # pack repeats of the active pixels into the fixed batch
+        # (duplicate lanes draw independent jitters/keys; scatter-add
+        # accumulation handles the multiplicity). Lanes that would
+        # push a pixel past maxSampleFactor are rendered but discarded
+        # so the cap holds exactly.
+        reps = -(-top // active.size)
+        idx = np.tile(active, reps)[:top]
+        occ = np.arange(top) // active.size    # occurrence # per lane
+        if max_sample_factor >= 0:
+            allowed = (max_sample_factor * base_spp
+                       - counts[idx]) // base_spp
+            keep = occ < np.maximum(allowed, 1)  # >= 1 round each
+        else:
+            keep = np.ones(top, bool)
+        r_rgb, r_lum, r_lum2 = rnd_exec(
             scene, jnp.asarray(px_all[idx]), jnp.asarray(py_all[idx]),
-            rng.fold(key, rnd), li_fn, base_spp)
-        r_rgb = np.asarray(r_rgb)[: active.size]
-        r_lum = np.asarray(r_lum)[: active.size]
-        r_lum2 = np.asarray(r_lum2)[: active.size]
-
-        sum_rgb[active] += r_rgb
-        sum_lum[active] += r_lum
-        sum_lum2[active] += r_lum2
-        counts[active] += base_spp
+            rng.fold(key, rnd))
+        idx_k = idx[keep]
+        np.add.at(sum_rgb, idx_k, np.asarray(r_rgb)[keep])
+        np.add.at(sum_lum, idx_k, np.asarray(r_lum)[keep])
+        np.add.at(sum_lum2, idx_k, np.asarray(r_lum2)[keep])
+        np.add.at(counts, idx_k, base_spp)
 
         n = counts[active].astype(np.float64)
         mean = sum_lum[active] / n
@@ -176,7 +214,9 @@ def render_adaptive(
             0.0)
         ci_width = quantile * np.sqrt(var / n)
         base = np.maximum(mean, avg_luminance * 0.01)
-        converged = ci_width <= max_error * base
+        over_cap = counts[active] >= max_sample_factor * base_spp \
+            if max_sample_factor >= 0 else np.zeros(active.size, bool)
+        converged = (ci_width <= max_error * base) | over_cap
         if verbose:
             print(f"round {rnd}: active {active.size}, "
                   f"converged {int(converged.sum())}")

@@ -89,8 +89,28 @@ def _default_gather_li(scene, o, d, key):
     )
 
 
-@partial(jax.jit, static_argnames=("li_fn", "res"), keep_unused=True)
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _gather_jit(li_fn, res: int, b: int):
+    """Per-(sub-integrator, resolution, batch) jit instance — one
+    signature per jit object (see adaptive._round_jit: a shared jitted
+    function with a static-callable arg corrupts the fastpath on its
+    second signature in this jax build)."""
+
+    @partial(jax.jit, keep_unused=True)
+    def f(scene, p, n, key):
+        return _gather_impl(scene, p, n, key, li_fn, res)
+
+    return f
+
+
 def gather_hemispheres(scene: Scene, p, n, key, li_fn, res: int = 8):
+    return _gather_jit(li_fn, res, int(p.shape[0]))(scene, p, n, key)
+
+
+def _gather_impl(scene: Scene, p, n, key, li_fn, res: int = 8):
     """Stratified final gather at points p with normals n.
 
     Returns (E (B,3), rgrad (B,3,3), tgrad (B,3,3), r0 (B,), hmin (B,)).

@@ -23,7 +23,14 @@ def main():
     ap.add_argument("scene")
     ap.add_argument("-o", "--output", default="out.pfm")
     ap.add_argument("-i", "--integrator", default="vrl",
-                    choices=["vrl", "alvrl", "volpath"])
+                    choices=["vrl", "alvrl", "volpath", "path", "direct",
+                             "bdpt", "ptracer", "photonmap", "pssmlt",
+                             "mlt", "erpt", "vpl", "adaptive", "irrcache",
+                             "field", "motion"])
+    ap.add_argument("--field", default="distance",
+                    help="AOV for -i field (misc/field.cpp kinds)")
+    ap.add_argument("--depth", type=int, default=16,
+                    help="max path depth for path-tracing integrators")
     ap.add_argument("-p", "--passes", type=int, default=4)
     ap.add_argument("-D", "--define", action="append", default=[])
     ap.add_argument("--seed", type=int, default=0)
@@ -58,15 +65,73 @@ def main():
              scene.camera.width, scene.camera.height)
 
     t0 = time.time()
+    import numpy as np
+
+    key = jax.random.key(args.seed)
     if args.integrator == "volpath":
         from alvrl_tpu.integrators import volpath
 
-        img = volpath.render_volpath(
-            scene, jax.random.key(args.seed), spp=args.spp,
-        )
-        import numpy as np
+        img = np.asarray(volpath.render_volpath(
+            scene, key, spp=args.spp,
+        ))
+    elif args.integrator == "path":
+        from alvrl_tpu.integrators import surface
 
+        img = np.asarray(surface.render_path(
+            scene, key, spp=args.spp, max_depth=args.depth))
+    elif args.integrator == "direct":
+        from alvrl_tpu.integrators import surface
+
+        img = np.asarray(surface.render_direct(scene, key, spp=args.spp))
+    elif args.integrator == "bdpt":
+        from alvrl_tpu.integrators import bdpt
+
+        img = np.asarray(bdpt.render_bdpt(scene, key, spp=args.spp))
+    elif args.integrator == "ptracer":
+        from alvrl_tpu.integrators import ptracer
+
+        img = np.asarray(ptracer.render_ptracer(
+            scene, key, num_particles=max(args.particles, 4096)))
+    elif args.integrator == "photonmap":
+        from alvrl_tpu.integrators import photonmap
+
+        img = np.asarray(photonmap.render_ppm(
+            scene, key, n_passes=args.passes))
+    elif args.integrator == "pssmlt":
+        from alvrl_tpu.integrators import pssmlt
+
+        img = np.asarray(pssmlt.render_pssmlt(scene, key))
+    elif args.integrator == "mlt":
+        from alvrl_tpu.integrators import mlt
+
+        img = np.asarray(mlt.render_mlt(scene, key))
+    elif args.integrator == "erpt":
+        from alvrl_tpu.integrators import erpt
+
+        img = np.asarray(erpt.render_erpt(scene, key))
+    elif args.integrator == "vpl":
+        from alvrl_tpu.integrators import vpl as vpl_mod
+
+        vpls = vpl_mod.generate_vpls(scene, key, max(args.particles, 64))
+        img = np.asarray(vpl_mod.render_vpl(scene, vpls, key))
+    elif args.integrator == "adaptive":
+        from alvrl_tpu.integrators import adaptive
+
+        img, _spp = adaptive.render_adaptive(scene, key)
         img = np.asarray(img)
+    elif args.integrator == "irrcache":
+        from alvrl_tpu.integrators import irrcache
+
+        img, _cache = irrcache.render_irrcache(scene, key)
+        img = np.asarray(img)
+    elif args.integrator == "field":
+        from alvrl_tpu.integrators import field as field_mod
+
+        img = np.asarray(field_mod.render_field(scene, args.field))
+    elif args.integrator == "motion":
+        from alvrl_tpu.integrators import motion
+
+        img = np.asarray(motion.render_motion_vectors(scene))
     else:
         from alvrl_tpu.integrators.progressive import (
             ProgressiveConfig,
