@@ -317,13 +317,16 @@ def _kernel(
                 qvz = tvx * e1y - tvy * e1x
                 vv = (ux * qvx + uy * qvy + uz * qvz) * sgn
                 tt = (e2x * qvx + e2y * qvy + e2z * qvz) * sgn
-                hit = (
-                    (adet > 1e-12)
-                    & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= adet)
-                    & (tt > lo * adet) & (tt < hi * adet)
-                )
+                # min-margin form of the acceptance test: hit iff every
+                # slack is positive (fewer VPU ops than the 6-compare
+                # + 5-and chain)
+                mn = jnp.minimum(uu, vv)
+                mn = jnp.minimum(mn, adet - (uu + vv))
+                mn = jnp.minimum(mn, tt - lo * adet)
+                mn = jnp.minimum(mn, hi * adet - tt)
+                mn = jnp.minimum(mn, adet - 1e-12)
                 # f32 carry: scf.for cannot legalize vector<i1> state
-                out.append(jnp.where(hit, 1.0, blocked[k]))
+                out.append(jnp.where(mn > 0.0, 1.0, blocked[k]))
             return tuple(out)
 
         init = tuple(jnp.zeros(shape, jnp.float32) for _ in segments)
