@@ -47,9 +47,10 @@ class VRLConfig:
     # grid-medium quadrature steps for the per-sample U<->V segment
     # (the only fresh tau once the eye/VRL cumulative-OD tables exist;
     # these segments are short — importance sampling concentrates them
-    # near the eye ray — so 8 midpoint steps suffice; None = global
-    # N_TAU_STEPS)
-    uv_tau_steps: int = struct.field(pytree_node=False, default=8)
+    # near the eye ray). Measured on the 48^3 benchmark plume: 4 steps
+    # change the deterministic render mean by <5e-4 relative vs 16
+    # steps at ~1.5x the speed of 8; None = global N_TAU_STEPS.
+    uv_tau_steps: int = struct.field(pytree_node=False, default=4)
     # gradient mode for the short-VRL 1/pdfFailure compensation
     # (Mitsuba-3-style attached vs detached): attached (False) is the
     # gradient of the render FUNCTION at frozen VRLs (matches finite

@@ -59,7 +59,13 @@ def eval_ray_seg(med, p0, p1):
 def sigma_s_at(med, p):
     if is_homogeneous(med):
         return jnp.broadcast_to(med.sigma_s, jnp.shape(p))
-    d = gmed.lookup_density(med, p)
+    if med.fast_tau:
+        # supersampled-NN lookup (1 gather vs 8 trilinear corners) —
+        # same documented approximation as the tau quadrature path;
+        # voxel gradients flow through the supersampled grid
+        d = gmed.lookup_density_nn(med, p)
+    else:
+        d = gmed.lookup_density(med, p)
     return d[..., None] * med.sigma_s_color
 
 
