@@ -20,7 +20,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from alvrl_tpu.core import math as m
 from alvrl_tpu.core import rng
 from alvrl_tpu.film import film as film_mod
 from alvrl_tpu.geometry import intersect
@@ -196,6 +198,78 @@ def render_with_vrls_pallas(scene: Scene, vrls: VRLs, key, cfg: VRLConfig = VRLC
 
     out = vp.vrl_sum_pallas(
         ray_pack, vrl_pack, tri_flat, med_pack, seed,
+        vol_vol_samples=cfg.vol_vol_samples,
+        vol_surf_samples=cfg.vol_surf_samples,
+        short_vrls=cfg.short_vrls,
+        phase_kind=scene.medium.phase_kind,
+    )
+    n = px.shape[0]
+    li = out.T[:n] / jnp.maximum(vrls.particle_count, 1.0)
+    li = jnp.where(hit.valid[..., None], li, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)
+
+
+def render_with_vrls_pallas_bvh(scene: Scene, vrls: VRLs, key,
+                                cfg: VRLConfig = VRLConfig(),
+                                leaf_size: int = None):
+    """Large-mesh unclustered Pallas render: the two-level occlusion
+    kernel streams BVH-leaf triangle clusters from HBM (no SMEM
+    triangle cap; ops.vrl_pallas.vrl_sum_pallas_bvh). Primary hits
+    traverse the device BVH; the VRL buffer is Morton-sorted so each
+    kernel tile's segment-union AABB culls distant clusters."""
+    from alvrl_tpu.geometry import bvh as bvh_mod
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops import vrl_pallas as vp
+
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+
+    # primary hits through the BVH, in ray chunks (the TPU lowering of
+    # the vmapped traversal materializes a per-lane copy of the
+    # triangle table; chunking bounds it)
+    b = bvh_mod.build(scene.vertices, scene.faces)
+    chunk = 512
+    n_rays = ray_o.shape[0]
+    n_ch = -(-n_rays // chunk)
+    pad_n = n_ch * chunk - n_rays
+    o_p = jnp.pad(ray_o, ((0, pad_n), (0, 0)))
+    d_p = jnp.pad(ray_d, ((0, pad_n), (0, 0)), constant_values=1.0)
+
+    # one device dispatch per chunk: a single fused traversal over the
+    # whole frame runs long enough to trip the device watchdog
+    hits_one = jax.jit(jax.vmap(lambda o, d: bvh_mod.intersect(b, o, d)))
+    parts = [hits_one(o_p[i * chunk:(i + 1) * chunk],
+                      d_p[i * chunk:(i + 1) * chunk])
+             for i in range(n_ch)]
+    t = jnp.concatenate([p[0] for p in parts])[:n_rays]
+    prim = jnp.concatenate([p[1] for p in parts])[:n_rays]
+    valid = jnp.concatenate([p[2] for p in parts])[:n_rays]
+    p = jnp.where(valid[:, None], ray_o + t[:, None] * ray_d, ray_o)
+    f = scene.faces[jnp.maximum(prim, 0)]
+    va, vb, vc = (scene.vertices[f[:, 0]], scene.vertices[f[:, 1]],
+                  scene.vertices[f[:, 2]])
+    ng_raw = m.normalize(jnp.cross(vb - va, vc - va))
+    ng = jnp.where(m.dot(ng_raw, ray_d)[:, None] > 0, -ng_raw, ng_raw)
+    hit = intersect.Hit(t=t, prim=prim, valid=valid, p=p, ng=ng,
+                        ng_raw=ng_raw,
+                        uv=jnp.zeros((px.shape[0], 2), jnp.float32))
+
+    vrls_s = vp.sort_vrls_morton(vrls)
+    ray_pack = pk.pack_rays(scene, ray_o, ray_d, hit)
+    vrl_pack = pk.pack_vrls(vrls_s)
+    clb, blocks, n_clusters = vp.pack_tri_clusters(
+        scene.vertices, scene.faces, np.asarray(scene.opaque_faces()))
+    med_pack = pk.pack_medium(scene)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+    out = vp.vrl_sum_pallas_bvh(
+        ray_pack, vrl_pack, clb, blocks, med_pack, seed,
+        n_clusters=n_clusters,
         vol_vol_samples=cfg.vol_vol_samples,
         vol_surf_samples=cfg.vol_surf_samples,
         short_vrls=cfg.short_vrls,

@@ -17,8 +17,16 @@ keeps the XLA version; a Pallas backward (recompute with the same PRNG
 seeds) is planned.
 
 Triangle capacity: the occlusion list is scalar-prefetched into SMEM —
-suitable for benchmark-scale meshes (T <= ~500). Larger scenes fall
-back to the XLA path until the two-level BVH kernel lands.
+suitable for benchmark-scale meshes (T <= ~500). For larger meshes,
+vrl_sum_pallas_bvh (bottom of this file) streams BVH-leaf triangle
+clusters from beyond SMEM with per-tile AABB culling — EXPERIMENTAL:
+validated against the XLA path (mean ratio 1.00005 at 4k tris) and
+memory-bounded at mesh sizes where the XLA brute-force occlusion OOMs
+(16k tris x standard tiles wants 50 GB of intermediates), but the
+sequential cluster loop has no DMA/compute overlap yet and the
+union-AABB cull cannot help in enclosing-geometry scenes (a Cornell
+box overlaps every tile's segment AABB). Round-2 work: double-buffered
+DMA + per-segment-group culling.
 """
 
 from __future__ import annotations
@@ -118,6 +126,9 @@ def _kernel(
     short_vrls: bool,
     phase_kind: int = 0,
     clustered: bool = False,
+    occl_fn=None,  # override: fn(pre, shape) -> list of blocked masks
+                   # (the two-level BVH variant streams triangle
+                   # clusters from HBM instead of the SMEM sweep)
 ):
     i = pl.program_id(0)
     if clustered:
@@ -286,6 +297,9 @@ def _kernel(
             lo = 1e-3 * jnp.maximum(dist, 1.0)
             hi = dist - lo
             pre.append((px_, py_, pz_, ux, uy, uz, lo, hi))
+
+        if occl_fn is not None:
+            return occl_fn(segments, pre, shape)
 
         def body(t, blocked):
             base = t * 9
@@ -608,3 +622,265 @@ def vrl_sum_pallas_clustered(
         ),
         out_shape=jax.ShapeDtypeStruct((3, b), jnp.float32),
     )(tri_flat, seed, tile_slice, ray_pack, vrl_tables, med_pack)
+
+
+# ---------------------------------------------------------------------------
+# Two-level occlusion: BVH-leaf triangle clusters streamed from HBM.
+#
+# The SMEM sweep above caps at ~500 triangles (scalar-prefetch budget).
+# For larger meshes, triangles are grouped into K-triangle clusters
+# (the native builder's BVH leaves), the per-cluster AABBs are scalar-
+# prefetched, and each kernel invocation: (1) reduces its sample
+# segments to one union AABB, (2) walks the cluster list with a SCALAR
+# AABB-overlap test, (3) only for overlapping clusters DMAs the K-
+# triangle block HBM -> SMEM and runs the same Wald sweep. Spatially
+# sorting the VRL buffer (Morton order, see sort_vrls_morton) keeps
+# each tile's union AABB tight so most clusters are culled.
+# ---------------------------------------------------------------------------
+
+K_CLUSTER = 64               # triangles per cluster block
+# each cluster's 64*9=576 floats are stored as an (8, 128) row-block —
+# slices of 8 rows match the VMEM (8, 128) tiling, which the per-
+# cluster DMA requires
+_CL_ROWS, _CL_COLS = 8, 128
+
+
+def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
+    """Occlusion builder for the two-level kernel (see _kernel)."""
+
+    def fn(segments, pre, shape):
+        n_seg = len(segments)
+        # union AABB of all sample segments in this tile (segment is
+        # contained in AABB(p, q); union over lanes and segments)
+        los = []
+        his = []
+        for ax in range(3):
+            seg_lo = [jnp.min(jnp.minimum(p[ax], q[ax]))
+                      for (p, q) in segments]
+            seg_hi = [jnp.max(jnp.maximum(p[ax], q[ax]))
+                      for (p, q) in segments]
+            lo = seg_lo[0]
+            hi = seg_hi[0]
+            for s in seg_lo[1:]:
+                lo = jnp.minimum(lo, s)
+            for s in seg_hi[1:]:
+                hi = jnp.maximum(hi, s)
+            los.append(lo)
+            his.append(hi)
+
+        for k in range(n_seg):
+            blocked_scr[k, :, :] = jnp.zeros(shape, jnp.float32)
+
+        def tri_test(t):
+            def at(i):
+                f = t * 9 + i
+                return tri_scr[f // _CL_COLS, f % _CL_COLS]
+
+            p0x = at(0)
+            p0y = at(1)
+            p0z = at(2)
+            e1x = at(3)
+            e1y = at(4)
+            e1z = at(5)
+            e2x = at(6)
+            e2y = at(7)
+            e2z = at(8)
+            for k, (px_, py_, pz_, ux, uy, uz, lo, hi) in enumerate(pre):
+                pvx = uy * e2z - uz * e2y
+                pvy = uz * e2x - ux * e2z
+                pvz = ux * e2y - uy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                adet = det * sgn
+                tvx, tvy, tvz = px_ - p0x, py_ - p0y, pz_ - p0z
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * sgn
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = (ux * qvx + uy * qvy + uz * qvz) * sgn
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * sgn
+                mn = jnp.minimum(uu, vv)
+                mn = jnp.minimum(mn, adet - (uu + vv))
+                mn = jnp.minimum(mn, tt - lo * adet)
+                mn = jnp.minimum(mn, hi * adet - tt)
+                mn = jnp.minimum(mn, adet - 1e-12)
+                blocked_scr[k, :, :] = jnp.where(
+                    mn > 0.0, 1.0, blocked_scr[k, :, :])
+
+        def cluster_body(c, carry):
+            base = c * 6
+            overlap = (
+                (clb_ref[base + 0] <= his[0])
+                & (clb_ref[base + 3] >= los[0])
+                & (clb_ref[base + 1] <= his[1])
+                & (clb_ref[base + 4] >= los[1])
+                & (clb_ref[base + 2] <= his[2])
+                & (clb_ref[base + 5] >= los[2])
+            )
+
+            @pl.when(overlap)
+            def _():
+                cp = pltpu.make_async_copy(
+                    tri_hbm.at[pl.ds(c * _CL_ROWS, _CL_ROWS)], tri_scr,
+                    sem)
+                cp.start()
+                cp.wait()
+
+                def t4(q, cr):
+                    t0 = q * 4
+                    tri_test(t0)
+                    tri_test(t0 + 1)
+                    tri_test(t0 + 2)
+                    tri_test(t0 + 3)
+                    return cr
+
+                jax.lax.fori_loop(0, K_CLUSTER // 4, t4, jnp.int32(0))
+
+            return carry
+
+        jax.lax.fori_loop(0, n_clusters, cluster_body, jnp.int32(0))
+        return [blocked_scr[k, :, :] > 0.5 for k in range(n_seg)]
+
+    return fn
+
+
+def sort_vrls_morton(vrls):
+    """Reorder a VRL buffer by the Morton code of segment midpoints —
+    spatially localizes each 128-VRL kernel tile so the two-level
+    occlusion's union AABBs stay tight (the Hilbert-order idea of the
+    reference's pixel traversal, renderproc.cpp:79, applied to the VRL
+    axis). Invalid slots sort to the end."""
+    import numpy as np_
+
+    mid = np_.asarray(0.5 * (vrls.start + vrls.end))
+    valid = np_.asarray(vrls.valid)
+    lo = mid.min(axis=0)
+    ext = np_.maximum(mid.max(axis=0) - lo, 1e-12)
+    q = np_.clip(((mid - lo) / ext * 1023).astype(np_.uint32), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+            | (spread(q[:, 2]) << 2))
+    code = np_.where(valid, code, np_.uint32(0xFFFFFFFF))
+    order = np_.argsort(code, kind="stable")
+    take = lambda a: jnp.asarray(np_.asarray(a)[order])
+    return type(vrls)(
+        start=take(vrls.start), end=take(vrls.end),
+        power=take(vrls.power), valid=take(vrls.valid),
+        particle_count=vrls.particle_count,
+    )
+
+
+def pack_tri_clusters(verts, faces, opaque_mask):
+    """Host-side: BVH-leaf clusters of opaque triangles ->
+    (cluster_bounds (C*6,) f32, tri_blocks (C, _CL_PAD) f32)."""
+    import numpy as np_
+
+    from alvrl_tpu.geometry import bvh as bvh_mod
+
+    verts = np_.asarray(verts, np_.float32)
+    faces = np_.asarray(faces)[np_.asarray(opaque_mask)]
+    if len(faces) == 0:
+        return (jnp.zeros((6,), jnp.float32),
+                jnp.zeros((_CL_ROWS, _CL_COLS), jnp.float32), 0)
+    b = bvh_mod.build(verts, faces, leaf_size=K_CLUSTER)
+    leaf = np_.asarray(b.prim_count) > 0
+    starts = np_.asarray(b.prim_start)[leaf]
+    counts = np_.asarray(b.prim_count)[leaf]
+    lo = np_.asarray(b.bounds_lo)[leaf]
+    hi = np_.asarray(b.bounds_hi)[leaf]
+    p0 = np_.asarray(b.tri_p0)
+    e1 = np_.asarray(b.tri_e1)
+    e2 = np_.asarray(b.tri_e2)
+    c = len(starts)
+    blocks = np_.zeros((c, _CL_ROWS * _CL_COLS), np_.float32)
+    for i in range(c):
+        s, n = int(starts[i]), int(counts[i])
+        tri = np_.concatenate(
+            [p0[s:s + n], e1[s:s + n], e2[s:s + n]], axis=1
+        )  # (n, 9)
+        blocks[i, : n * 9] = tri.reshape(-1)
+    blocks = blocks.reshape(c * _CL_ROWS, _CL_COLS)
+    clb = np_.concatenate([lo, hi], axis=1).reshape(-1).astype(np_.float32)
+    return jnp.asarray(clb), jnp.asarray(blocks), c
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_clusters", "vol_vol_samples", "vol_surf_samples",
+                     "short_vrls", "phase_kind"),
+)
+def vrl_sum_pallas_bvh(
+    ray_pack,     # (B, RAY_ROWS) f32, B % RAY_TILE == 0
+    vrl_pack,     # (VRL_ROWS, N) f32, N % VRL_TILE == 0 (Morton-sorted)
+    cluster_bounds,  # (C*6,) f32 AABBs (lo3, hi3 per cluster)
+    tri_blocks,   # (C*8, 128) f32 triangle row-blocks
+    med_pack,     # (1, 16) f32
+    seed,         # (1,) i32
+    n_clusters: int,
+    vol_vol_samples: int = 2,
+    vol_surf_samples: int = 2,
+    short_vrls: bool = True,
+    phase_kind: int = 0,
+):
+    """Two-level unclustered VRL sum: like vrl_sum_pallas but with
+    HBM-streamed triangle clusters (no SMEM triangle cap).
+    Returns (3, B) per-ray sums (not particle-normalized)."""
+    b = ray_pack.shape[0]
+    n = vrl_pack.shape[1]
+    grid = (b // RAY_TILE, n // VRL_TILE)
+    n_seg = vol_vol_samples + vol_surf_samples
+
+    def kernel(clb_ref, seed_ref, ray_ref, vrl_ref, med_ref, tri_hbm,
+               out_ref, tri_scr, blocked_scr, sem):
+        occl = _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr,
+                         blocked_scr, sem)
+        _kernel(
+            None, seed_ref, ray_ref, vrl_ref, med_ref, out_ref,
+            n_tris=0,
+            vol_vol_samples=vol_vol_samples,
+            vol_surf_samples=vol_surf_samples,
+            short_vrls=short_vrls,
+            phase_kind=phase_kind,
+            occl_fn=occl,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (RAY_TILE, RAY_ROWS), lambda i, j, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (VRL_ROWS, VRL_TILE), lambda i, j, *_: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 16), lambda i, j, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # tri_blocks (HBM)
+            ],
+            out_specs=pl.BlockSpec(
+                (3, RAY_TILE), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((_CL_ROWS, _CL_COLS), jnp.float32),
+                pltpu.VMEM((4, RAY_TILE, VRL_TILE), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, b), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(cluster_bounds, seed, ray_pack, vrl_pack, med_pack, tri_blocks)
