@@ -126,6 +126,7 @@ class HitInfo:
         self.ng = hit.ng
         self.ng_raw = hit.ng_raw
         self.t = hit.t
+        self.prim = hit.prim
         self.mat = mat
 
 
@@ -206,6 +207,56 @@ def render_with_vrls_pallas(scene: Scene, vrls: VRLs, key, cfg: VRLConfig = VRLC
     n = px.shape[0]
     li = out.T[:n] / jnp.maximum(vrls.particle_count, 1.0)
     li = jnp.where(hit.valid[..., None], li, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)
+
+
+def render_with_vrls_pallas_spec(scene: Scene, vrls: VRLs, key,
+                                 cfg: VRLConfig = VRLConfig(),
+                                 spec_cfg=None):
+    """Unclustered Pallas render WITH specular chains: the bounded
+    delta-BSDF recursion (vrlIntegrator.cpp:445-511) runs on the XLA
+    side producing per-depth weighted eye segments; each depth's gather
+    is one launch of the SAME pair-tile kernel (the chain weight
+    multiplies the kernel's per-ray output — linearity folds it in
+    without touching the kernel)."""
+    from alvrl_tpu.integrators.vrl.specular import (
+        SpecularConfig,
+        li_specular_chain,
+    )
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops import vrl_pallas as vp
+
+    if spec_cfg is None:
+        spec_cfg = SpecularConfig()
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    n = px.shape[0]
+
+    vrl_pack = pk.pack_vrls(vrls)
+    tri_flat = pk.pack_tris(scene)
+    med_pack = pk.pack_medium(scene)
+
+    def li_at_hit(o, d, hit, k, weight):
+        ray_pack = pk.pack_rays(scene, o, d, hit)
+        seed = jax.random.randint(k, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+        out = vp.vrl_sum_pallas(
+            ray_pack, vrl_pack, tri_flat, med_pack, seed,
+            vol_vol_samples=cfg.vol_vol_samples,
+            vol_surf_samples=cfg.vol_surf_samples,
+            short_vrls=cfg.short_vrls,
+            phase_kind=scene.medium.phase_kind,
+        )
+        return out.T[:n] * weight
+
+    li = li_specular_chain(
+        scene, ray_o, ray_d, li_at_hit, trace_eye_rays, key, spec_cfg
+    )
+    li = li / jnp.maximum(vrls.particle_count, 1.0)
     img, wgt = film_mod.splat_box(w, h, px, py, li)
     return film_mod.develop(img, wgt)
 
