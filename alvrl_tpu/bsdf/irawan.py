@@ -28,10 +28,12 @@ per-yarn Lambertian term. Preserved semantics (file:line citations):
   * sampling = cosine hemisphere, weight eval*pi/cos, pdf = cos/pi
     (irawan.cpp:336-371).
 
-The reference parses an external weave-pattern DSL (boost.spirit); the
-pattern files ship separately from the repo. Here a pattern is a plain
-dict / constructor call (make_pattern) and two classic presets are
-provided; everything is a flax pytree so eval is fully batched.
+Patterns come from (a) plain dicts / make_pattern, (b) two built-in
+presets, or (c) the reference's external weave-pattern DSL files via
+parse_weave/load_weave_file (the boost.spirit grammar of irawan.h:
+228-406 — comments, $param substitution, degree->radian angles,
+1-based pattern ids). Everything is a flax pytree so eval is fully
+batched.
 
 Divergence (documented): umax noise via `period` uses our value-noise
 instead of Perlin+TEA — same statistics, different stream.
@@ -471,3 +473,144 @@ def sample_cosine(pat: WeavePattern, uv, wi_l, u2):
     weight = f_cos * (np.pi / cos_o)[..., None]
     pdf = cos_o * _INV_PI
     return wo_l, weight, pdf
+
+
+# ---------------------------------------------------------------------------
+# Weave-pattern description files (the reference's boost.spirit DSL,
+# irawan.h:228-406): `weave { key = value, ..., pattern { ids... },
+# yarn { ... }, ... }` with /* */ comments, $identifier substitution
+# from scene parameters, 1-based yarn ids in `pattern`, and angles in
+# degrees (psi, umax, dW*OverD*) converted to radians on load.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_ANGLE_KEYS = {"psi", "umax", "dWarpUmaxOverDWarp", "dWarpUmaxOverDWeft",
+               "dWeftUmaxOverDWarp", "dWeftUmaxOverDWeft"}
+
+
+def _tokenize_weave(text):
+    text = _re.sub(r"/\*.*?\*/", " ", text, flags=_re.S)
+    return _re.findall(
+        r'"[^"]*"|\$[A-Za-z_]\w*|[A-Za-z_]\w*|[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?'
+        r"|[{}=,]", text)
+
+
+def parse_weave(text, params=None) -> WeavePattern:
+    """Parse a weave-pattern description (irawan.cpp's `filename`
+    format) into a WeavePattern. `params` resolves $identifier
+    placeholders (the reference resolves them from the BSDF's
+    Properties, irawan.h:81,337)."""
+    params = params or {}
+    toks = _tokenize_weave(text)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expect=None):
+        nonlocal pos
+        t = toks[pos]
+        if expect is not None and t != expect:
+            raise ValueError(f"weave parse: expected {expect!r}, got {t!r}")
+        pos += 1
+        return t
+
+    def value():
+        t = take()
+        if t.startswith("$"):
+            name = t[1:]
+            if name not in params:
+                raise ValueError(f"weave parse: unresolved ${name}")
+            return float(params[name])
+        return float(t)
+
+    take("weave")
+    take("{")
+    fields = {}
+    yarns = []
+    pattern = []
+    while peek() != "}":
+        if peek() == ",":
+            take()
+            continue
+        key = take()
+        if key == "pattern":
+            take("{")
+            while peek() != "}":
+                if peek() == ",":
+                    take()
+                    continue
+                pattern.append(int(float(take())))
+            take("}")
+        elif key == "yarn":
+            take("{")
+            y = {}
+            while peek() != "}":
+                if peek() == ",":
+                    take()
+                    continue
+                yk = take()
+                take("=")
+                if yk == "type":
+                    y["type"] = take()
+                elif yk in ("kd", "ks"):
+                    take("{")
+                    rgb = [value()]
+                    take(",")
+                    rgb.append(value())
+                    take(",")
+                    rgb.append(value())
+                    take("}")
+                    y[yk] = rgb
+                else:
+                    v = value()
+                    if yk in _ANGLE_KEYS:
+                        v = v * np.pi / 180.0
+                    key_map = {"centerU": "center_u", "centerV": "center_v"}
+                    y[key_map.get(yk, yk)] = v
+            take("}")
+            y.setdefault("kd", [0.5, 0.5, 0.5])
+            y.setdefault("ks", [0.5, 0.5, 0.5])
+            yarns.append(y)
+        elif key == "name":
+            take("=")
+            fields["name"] = take().strip('"')
+        else:
+            take("=")
+            v = value()
+            if key in _ANGLE_KEYS:
+                v = v * np.pi / 180.0
+            fields[key] = v
+    take("}")
+
+    tw = int(fields["tileWidth"])
+    th = int(fields["tileHeight"])
+    if len(pattern) != tw * th:
+        raise ValueError(
+            f"weave parse: pattern has {len(pattern)} entries, tile is "
+            f"{tw}x{th}")
+    ids = np.asarray(pattern, np.int32).reshape(th, tw) - 1  # 1-based
+    if ids.min() < 0 or ids.max() >= len(yarns):
+        raise ValueError("weave parse: pattern references missing yarns")
+    return make_pattern(
+        ids, yarns,
+        alpha=fields.get("alpha", 0.05), beta=fields.get("beta", 4.0),
+        ss=fields.get("ss", 0.5), h_width=fields.get("hWidth", 0.5),
+        warp_area=fields.get("warpArea", 1.0),
+        weft_area=fields.get("weftArea", 1.0),
+        fineness=fields.get("fineness", 0.0),
+        period=fields.get("period", 0.0),
+        d_warp=(fields.get("dWarpUmaxOverDWarp", 0.0),
+                fields.get("dWarpUmaxOverDWeft", 0.0)),
+        d_weft=(fields.get("dWeftUmaxOverDWarp", 0.0),
+                fields.get("dWeftUmaxOverDWeft", 0.0)),
+    )
+
+
+def load_weave_file(path, params=None, repeat_u=4.0,
+                    repeat_v=4.0) -> WeavePattern:
+    with open(path) as f:
+        pat = parse_weave(f.read(), params)
+    return pat.replace(repeat_u=jnp.float32(repeat_u),
+                       repeat_v=jnp.float32(repeat_v))

@@ -210,6 +210,13 @@ def build_scene(desc: dict) -> Scene:
                 ks=mdesc.get("ks", (0.9, 0.9, 1.0)),
                 repeat_u=mdesc.get("repeat_u", 12.0),
                 repeat_v=mdesc.get("repeat_v", 12.0))
+        elif isinstance(wd, dict) and "filename" in wd:
+            # the reference's external weave-pattern DSL file
+            # (irawan.cpp `filename` + $param substitution)
+            weave = irw.load_weave_file(
+                wd["filename"], params=wd.get("params"),
+                repeat_u=wd.get("repeat_u", mdesc.get("repeat_u", 4.0)),
+                repeat_v=wd.get("repeat_v", mdesc.get("repeat_v", 4.0)))
         elif isinstance(wd, dict):
             weave = irw.make_pattern(**wd)
         else:

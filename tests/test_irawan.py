@@ -100,3 +100,88 @@ def test_render_cloth_scene():
         scene, jax.random.key(0), spp=8, max_depth=3))
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+DENIM_LIKE = """
+/* A denim-like twill in the reference's weave-pattern DSL
+   (irawan.h grammar): 3x6 tile, staple yarns, $param substitution. */
+weave {
+    name = "Cotton denim (test)",
+    tileWidth = 3,
+    tileHeight = 6,
+    alpha = $alpha,          /* uniform scattering */
+    beta = 12,
+    ss = 0.5,
+    hWidth = 0.5,
+    warpArea = 8,
+    weftArea = 1,
+    fineness = 0,
+    period = 0,
+    pattern {
+        1, 3, 8,
+        1, 3, 5,
+        1, 7, 5,
+        1, 4, 5,
+        6, 4, 5,
+        2, 4, 5
+    },
+    yarn { type = warp, psi = 38, umax = 46, kappa = 2,
+           width = 2.7, length = 5.1, centerU = 0.5, centerV = 0.7,
+           kd = {0.1, 0.11, 0.4}, ks = {0.4, 0.4, 0.5} },
+    yarn { type = warp, psi = 38, umax = 46, kappa = 2,
+           width = 2.7, length = 5.1, centerU = 0.1667, centerV = 0.37,
+           kd = {0.1, 0.11, 0.4}, ks = {0.4, 0.4, 0.5} },
+    yarn { type = warp, psi = 38, umax = 46, kappa = 2,
+           width = 2.7, length = 5.1, centerU = 0.8333, centerV = 0.03,
+           kd = {0.1, 0.11, 0.4}, ks = {0.4, 0.4, 0.5} },
+    yarn { type = warp, psi = 38, umax = 46, kappa = 2,
+           width = 2.7, length = 5.1, centerU = 0.1667, centerV = 0.87,
+           kd = {0.1, 0.11, 0.4}, ks = {0.4, 0.4, 0.5} },
+    yarn { type = warp, psi = 38, umax = 46, kappa = 2,
+           width = 2.7, length = 5.1, centerU = 0.8333, centerV = 0.53,
+           kd = {0.1, 0.11, 0.4}, ks = {0.4, 0.4, 0.5} },
+    yarn { type = weft, psi = 38, umax = 46, kappa = 2,
+           width = 1, length = 3, centerU = 0.1667, centerV = 0.2537,
+           kd = {0.2, 0.2, 0.5}, ks = {0.5, 0.5, 0.6} },
+    yarn { type = weft, psi = 38, umax = 46, kappa = 2,
+           width = 1, length = 3, centerU = 0.5, centerV = 0.5871,
+           kd = {0.2, 0.2, 0.5}, ks = {0.5, 0.5, 0.6} },
+    yarn { type = weft, psi = 38, umax = 46, kappa = 2,
+           width = 1, length = 3, centerU = 0.8333, centerV = 0.9204,
+           kd = {0.2, 0.2, 0.5}, ks = {0.5, 0.5, 0.6} }
+}
+"""
+
+
+def test_parse_weave_dsl():
+    pat = irw.parse_weave(DENIM_LIKE, params={"alpha": 0.02})
+    assert pat.tile.shape == (6, 3)
+    assert int(np.asarray(pat.tile).min()) == 0
+    assert int(np.asarray(pat.tile).max()) == 7
+    assert pat.yarn_type.shape == (8,)
+    # 5 warps then 3 wefts
+    assert np.asarray(pat.yarn_type)[:5].sum() == 0
+    assert np.asarray(pat.yarn_type)[5:].sum() == 3
+    np.testing.assert_allclose(float(pat.alpha), 0.02)
+    np.testing.assert_allclose(float(pat.warp_area), 8.0)
+    # degrees -> radians
+    np.testing.assert_allclose(np.asarray(pat.psi),
+                               np.full(8, 38 * np.pi / 180), rtol=1e-6)
+    # eval works on the parsed pattern
+    pat = irw.normalize_pattern(pat)
+    uv, wi, wo = _cosine_pairs(jax.random.key(11), 2048)
+    f = np.asarray(irw.eval_raw(pat, uv, wi, wo))
+    assert np.isfinite(f).all() and (f >= 0).all() and f.max() > 0
+
+
+def test_parse_weave_unresolved_param():
+    with pytest.raises(ValueError, match="unresolved"):
+        irw.parse_weave(DENIM_LIKE)
+
+
+def test_load_weave_file(tmp_path):
+    p = tmp_path / "denim.wift"
+    p.write_text(DENIM_LIKE.replace("$alpha", "0.01"))
+    pat = irw.load_weave_file(p, repeat_u=6.0, repeat_v=6.0)
+    assert float(pat.repeat_u) == 6.0
+    assert pat.tile.shape == (6, 3)
