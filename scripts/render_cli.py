@@ -152,6 +152,10 @@ def main():
 
     if args.output.endswith(".npy"):
         image_io.write_npy(args.output, img)
+    elif args.output.endswith((".jpg", ".jpeg")):
+        from alvrl_tpu.io import jpeg as jpeg_io
+
+        jpeg_io.write_jpeg(args.output, image_io.tonemap(img))
     elif args.output.endswith(".exr"):
         from alvrl_tpu.io import exr as exr_io
 
