@@ -22,9 +22,11 @@ Estimators:
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from alvrl_tpu.core import math as m
@@ -321,3 +323,108 @@ def render_ppm(scene: Scene, key, n_passes: int = 8,
         r2s *= shrink
         r2v *= shrink
     return accum / n_passes
+
+
+# ---------------------------------------------------------------------------
+# Hash-grid gather: replaces the reference's kd-tree kNN (photonmap.cpp,
+# core/kdtree.h) for LARGE photon counts. Photons are sorted once by a
+# full-width spatial hash of their radius-sized cell; each query
+# searchsorted-probes its 27 neighbor cells and gathers up to
+# `k_per_cell` candidates per cell — fixed shapes, no tree, no
+# divergence. The full 32-bit hash (no table modulo) makes duplicate
+# counting from cell collisions astronomically unlikely; the r^2 test
+# filters any stray collision candidates.
+# ---------------------------------------------------------------------------
+
+
+class HashGrid(NamedTuple):
+    keys: jax.Array       # (N,) uint32 sorted cell hashes (invalid -> max)
+    order: jax.Array      # (N,) int32 photon index per sorted slot
+    cell: jax.Array       # scalar f32 cell size (= gather radius)
+
+
+def _cell_hash(ix, iy, iz):
+    return ((ix.astype(jnp.uint32) * jnp.uint32(73856093))
+            ^ (iy.astype(jnp.uint32) * jnp.uint32(19349663))
+            ^ (iz.astype(jnp.uint32) * jnp.uint32(83492791)))
+
+
+def build_hash_grid(pos, valid, radius) -> HashGrid:
+    c = jnp.floor(pos / radius).astype(jnp.int32)
+    keys = _cell_hash(c[:, 0], c[:, 1], c[:, 2])
+    keys = jnp.where(valid, jnp.minimum(keys, jnp.uint32(0xFFFFFFFE)),
+                     jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(keys).astype(jnp.int32)
+    return HashGrid(keys=keys[order], order=order,
+                    cell=jnp.asarray(radius, jnp.float32))
+
+
+_OFFSETS = np.array([(dx, dy, dz)
+                     for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1)
+                     for dz in (-1, 0, 1)], np.int32)  # (27, 3)
+
+
+def grid_candidates(grid: HashGrid, q_pos, k_per_cell: int = 32):
+    """Candidate photon indices near each query -> (idx (B, 27*K) int32,
+    ok (B, 27*K) bool). Cells holding more than K photons are truncated
+    (progressive radius shrinkage keeps occupancy bounded; raise K for
+    dense maps)."""
+    c = jnp.floor(q_pos / grid.cell).astype(jnp.int32)  # (B, 3)
+    cq = c[:, None, :] + _OFFSETS[None, :, :]           # (B, 27, 3)
+    keys_q = _cell_hash(cq[..., 0], cq[..., 1], cq[..., 2])  # (B, 27)
+    # distinct neighbor cells can hash-collide; a collided pair would
+    # double-count its photons — keep only the first of equal keys
+    eq = keys_q[:, :, None] == keys_q[:, None, :]       # (B, 27, 27)
+    earlier = np.tril(np.ones((27, 27), bool), -1)[None]
+    dup = jnp.any(eq & earlier, axis=-1)                # (B, 27)
+    lo = jnp.searchsorted(grid.keys, keys_q, side="left")
+    hi = jnp.searchsorted(grid.keys, keys_q, side="right")
+    k = jnp.arange(k_per_cell)
+    slots = lo[..., None] + k[None, None, :]            # (B, 27, K)
+    ok = (slots < hi[..., None]) & ~dup[..., None]
+    slots = jnp.clip(slots, 0, grid.keys.shape[0] - 1)
+    idx = grid.order[slots]
+    b = q_pos.shape[0]
+    return idx.reshape(b, -1), ok.reshape(b, -1)
+
+
+def surface_estimate_grid(scene: Scene, pm: PhotonMap, grid: HashGrid,
+                          q_pos, q_wo, q_ng, q_mat, radius,
+                          k_per_cell: int = 32):
+    """surface_estimate over hash-grid candidates: O(B * 27K) instead of
+    O(B * N)."""
+    idx, ok = grid_candidates(grid, q_pos, k_per_cell)
+    p = pm.s_pos[idx]
+    wi = pm.s_wi[idx]
+    phi = pm.s_power[idx]
+    v = pm.s_valid[idx] & ok
+    r2 = radius * radius
+    d2 = m.length_sq(q_pos[:, None, :] - p)
+    inside = (d2 < r2) & v
+    f = bsdf_eval_smooth(
+        scene, q_mat[:, None], q_ng[:, None, :], q_wo[:, None, :], wi,
+        p_world=q_pos[:, None, :],
+    )
+    cos_i = jnp.maximum(m.dot(q_ng[:, None, :], wi), 1e-6)
+    f = f / cos_i[..., None]
+    acc = jnp.sum(jnp.where(inside[..., None], f * phi, 0.0), axis=1)
+    return acc / (jnp.pi * r2 * jnp.maximum(pm.n_emitted, 1.0))
+
+
+def volume_estimate_grid(scene: Scene, pm: PhotonMap, grid: HashGrid,
+                         q_pos, q_w, radius, k_per_cell: int = 32):
+    idx, ok = grid_candidates(grid, q_pos, k_per_cell)
+    p = pm.v_pos[idx]
+    wi = pm.v_wi[idx]
+    phi = pm.v_power[idx]
+    v = pm.v_valid[idx] & ok
+    r2 = radius * radius
+    vol = (4.0 / 3.0) * jnp.pi * radius ** 3
+    med = scene.medium
+    d2 = m.length_sq(q_pos[:, None, :] - p)
+    inside = (d2 < r2) & v
+    rho = ph.eval_phase(med.phase_kind, med.g, wi, -q_w[:, None, :])
+    acc = jnp.sum(
+        jnp.where(inside[..., None], rho[..., None] * phi, 0.0), axis=1)
+    return acc / (vol * jnp.maximum(pm.n_emitted, 1.0))

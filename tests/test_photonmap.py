@@ -35,3 +35,54 @@ def test_ppm_matches_volpath():
     assert np.isfinite(img).all()
     ratio = img.mean() / o.mean()
     assert 0.88 < ratio < 1.12, ratio
+
+
+def test_hash_grid_matches_dense_gather():
+    """The hash-grid gather must reproduce the dense O(B*N) sweep
+    exactly when k_per_cell is large enough."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alvrl_tpu.integrators import photonmap as pmod
+    from alvrl_tpu.scene import presets
+    from alvrl_tpu.integrators.surface import vacuumize
+
+    scene = vacuumize(presets.cornell_smoke(width=8, height=8))
+    rng_np = np.random.default_rng(3)
+    n = 600
+    pos = rng_np.uniform(-1, 1, (n, 3)).astype(np.float32)
+    wi = rng_np.normal(size=(n, 3)).astype(np.float32)
+    wi /= np.linalg.norm(wi, axis=1, keepdims=True)
+    power = rng_np.uniform(0, 1, (n, 3)).astype(np.float32)
+    valid = rng_np.uniform(size=n) < 0.9
+    pm = pmod.PhotonMap(
+        s_pos=jnp.asarray(pos), s_wi=jnp.asarray(wi),
+        s_power=jnp.asarray(power), s_valid=jnp.asarray(valid),
+        v_pos=jnp.asarray(pos), v_wi=jnp.asarray(wi),
+        v_power=jnp.asarray(power), v_valid=jnp.asarray(valid),
+        n_emitted=jnp.float32(64.0),
+    )
+    radius = 0.25
+    q = rng_np.uniform(-0.9, 0.9, (40, 3)).astype(np.float32)
+    q_w = rng_np.normal(size=(40, 3)).astype(np.float32)
+    q_w /= np.linalg.norm(q_w, axis=1, keepdims=True)
+    dense = np.asarray(pmod.volume_estimate(
+        scene, pm, jnp.asarray(q), jnp.asarray(q_w), radius))
+    grid = pmod.build_hash_grid(pm.v_pos, pm.v_valid, radius)
+    fast = np.asarray(pmod.volume_estimate_grid(
+        scene, pm, grid, jnp.asarray(q), jnp.asarray(q_w), radius,
+        k_per_cell=64))
+    np.testing.assert_allclose(fast, dense, rtol=2e-4, atol=1e-7)
+
+    # surface variant
+    q_ng = np.tile(np.array([0, 1, 0], np.float32), (40, 1))
+    q_mat = jnp.zeros((40,), jnp.int32)
+    dense_s = np.asarray(pmod.surface_estimate(
+        scene, pm, jnp.asarray(q), jnp.asarray(q_w), jnp.asarray(q_ng),
+        q_mat, radius))
+    grid_s = pmod.build_hash_grid(pm.s_pos, pm.s_valid, radius)
+    fast_s = np.asarray(pmod.surface_estimate_grid(
+        scene, pm, grid_s, jnp.asarray(q), jnp.asarray(q_w),
+        jnp.asarray(q_ng), q_mat, radius, k_per_cell=64))
+    np.testing.assert_allclose(fast_s, dense_s, rtol=2e-4, atol=1e-7)
