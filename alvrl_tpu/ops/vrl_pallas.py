@@ -646,7 +646,13 @@ _CL_ROWS, _CL_COLS = 8, 128
 
 
 def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
-    """Occlusion builder for the two-level kernel (see _kernel)."""
+    """Occlusion builder for the two-level kernel (see _kernel).
+
+    Double-buffered: every cluster's block is DMA'd UNCONDITIONALLY
+    into the 2-deep scratch while the previous cluster is processed
+    (the copies are cheap — ~4 KB each; the expensive Wald sweep stays
+    conditional on the AABB overlap), so DMA latency never serializes
+    against compute."""
 
     def fn(segments, pre, shape):
         n_seg = len(segments)
@@ -671,10 +677,10 @@ def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
         for k in range(n_seg):
             blocked_scr[k, :, :] = jnp.zeros(shape, jnp.float32)
 
-        def tri_test(t):
+        def tri_test(t, par):
             def at(i):
                 f = t * 9 + i
-                return tri_scr[f // _CL_COLS, f % _CL_COLS]
+                return tri_scr[par, f // _CL_COLS, f % _CL_COLS]
 
             p0x = at(0)
             p0y = at(1)
@@ -707,7 +713,23 @@ def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
                 blocked_scr[k, :, :] = jnp.where(
                     mn > 0.0, 1.0, blocked_scr[k, :, :])
 
+        def copy(c, par):
+            return pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(c * _CL_ROWS, _CL_ROWS)],
+                tri_scr.at[par], sem.at[par])
+
+        # prologue: cluster 0 in flight before the loop
+        copy(jnp.int32(0), jnp.int32(0)).start()
+
         def cluster_body(c, carry):
+            par = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_clusters)
+            def _():
+                copy(c + 1, 1 - par).start()
+
+            copy(c, par).wait()
+
             base = c * 6
             overlap = (
                 (clb_ref[base + 0] <= his[0])
@@ -720,18 +742,12 @@ def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
 
             @pl.when(overlap)
             def _():
-                cp = pltpu.make_async_copy(
-                    tri_hbm.at[pl.ds(c * _CL_ROWS, _CL_ROWS)], tri_scr,
-                    sem)
-                cp.start()
-                cp.wait()
-
                 def t4(q, cr):
                     t0 = q * 4
-                    tri_test(t0)
-                    tri_test(t0 + 1)
-                    tri_test(t0 + 2)
-                    tri_test(t0 + 3)
+                    tri_test(t0, par)
+                    tri_test(t0 + 1, par)
+                    tri_test(t0 + 2, par)
+                    tri_test(t0 + 3, par)
                     return cr
 
                 jax.lax.fori_loop(0, K_CLUSTER // 4, t4, jnp.int32(0))
@@ -874,9 +890,9 @@ def vrl_sum_pallas_bvh(
                 (3, RAY_TILE), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.SMEM((_CL_ROWS, _CL_COLS), jnp.float32),
+                pltpu.SMEM((2, _CL_ROWS, _CL_COLS), jnp.float32),
                 pltpu.VMEM((4, RAY_TILE, VRL_TILE), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((3, b), jnp.float32),
