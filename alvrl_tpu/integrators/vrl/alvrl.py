@@ -144,19 +144,21 @@ def prepare_clustering(
         slices.pixel_to_slice, slice_ids, slice_ws, fb_ids, fb_w, gc_ids, gc_w
     )
 
-    # Append the fall-back set as the last row of the tables; map -1 -> S.
-    # Bucket-pad both table dims so repeated passes reuse the compiled
-    # clustered-render kernel (raw shapes vary per pass -> recompiles).
+    # Table width = the SLICE width only (bucket-padded to 32 so repeated
+    # passes reuse the compiled clustered-render kernel). The fall-back
+    # set is usually much wider (numVrls/fallBackUndersampling reps,
+    # Preprocessor.cpp:176-185) and typically serves ZERO pixels (only
+    # pixels whose center ray missed all geometry) — padding every slice
+    # row to its width doubled the dense render work. Fall-back pixels
+    # map to an all-zero last row here and are rendered separately
+    # (render_alvrl's fb launch) when any exist.
     s, cmax = info.slice_vrls.shape
-    cmax2 = max(cmax, len(info.fallback_vrls))
-    cmax2 = int(-(-cmax2 // 32) * 32)
+    cmax2 = int(-(-cmax // 32) * 32)
     rows = int(-(-(s + 1) // 32) * 32)
     tv = np.zeros((rows, cmax2), np.int32)
     tw = np.zeros((rows, cmax2), np.float32)
     tv[:s, :cmax] = info.slice_vrls
     tw[:s, :cmax] = info.slice_weights
-    tv[s, : len(info.fallback_vrls)] = info.fallback_vrls
-    tw[s, : len(info.fallback_weights)] = info.fallback_weights
     sop = np.where(info.pixel_to_slice < 0, s, info.pixel_to_slice).astype(np.int32)
     return jnp.asarray(sop), jnp.asarray(tv), jnp.asarray(tw), info
 
@@ -198,5 +200,29 @@ def render_alvrl(
         img = render_clustered(
             scene, vrls, sop, tv, tw, k_render, cfg, ray_tile=ray_tile,
             host_bands=host_bands,
+        )
+
+    # Fall-back pixels (center ray missed all geometry at slice-build
+    # time; UINT32_MAX slices, vrlIntegrator.cpp:560,587): the main
+    # launch gave them the zero row; integrate them against the (wide)
+    # fall-back representative set in a small second launch. Usually
+    # there are none (enclosed scenes).
+    fb_mask = np.asarray(info.pixel_to_slice) < 0
+    if fb_mask.any() and len(info.fallback_vrls):
+        from alvrl_tpu.integrators.vrl.integrator import _clustered_li
+
+        w = scene.camera.width
+        pix = np.flatnonzero(fb_mask)
+        px = jnp.asarray(pix % w, jnp.int32)
+        py = jnp.asarray(pix // w, jnp.int32)
+        fb_tv = jnp.asarray(info.fallback_vrls[None, :].astype(np.int32))
+        fb_tw = jnp.asarray(info.fallback_weights[None, :].astype(np.float32))
+        li_fb = _clustered_li(
+            scene, vrls, jnp.zeros((len(pix),), jnp.int32), fb_tv, fb_tw,
+            rng.fold(k_render, 977), px, py, cfg,
+            ray_tile=min(ray_tile, max(256, len(pix))),
+        )
+        img = img.reshape(-1, 3).at[jnp.asarray(pix)].set(li_fb).reshape(
+            img.shape
         )
     return img, vrls, info

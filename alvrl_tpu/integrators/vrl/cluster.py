@@ -475,10 +475,26 @@ def build_clusters(
     localities,       # per slice list of (neighbour, distance)
     params: ClusterParams,
     rng,
+    backend: str = "auto",
 ):
     """Full pipeline: global cluster -> fall-back -> per-slice refinement.
     Returns (per-slice ids list, per-slice weights list, fallback ids,
-    fallback weights, gc ids, gc weights)."""
+    fallback weights, gc ids, gc weights).
+
+    backend: "auto" uses the native C++ module (threaded over slices,
+    native/cluster_refine.cpp — the ClusterRefiner-threads counterpart,
+    Preprocessor.cpp:722-773) when built, else this numpy implementation;
+    "numpy"/"native" force one."""
+    if backend != "numpy":
+        from alvrl_tpu.integrators.vrl import cluster_native
+
+        if cluster_native.available():
+            return cluster_native.build_clusters(
+                R_mean, R_var, rows_per_slice, slice_undersampling,
+                global_pixel_undersampling, localities, params, rng,
+            )
+        if backend == "native":
+            raise RuntimeError("native clustering backend unavailable")
     p_total, n_vrls = R_mean.shape
 
     # 1) zero-contribution quarantine (cluster(), :843-897)
