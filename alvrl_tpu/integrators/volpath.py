@@ -465,6 +465,9 @@ def render_volpath(scene: Scene, key, spp: int = 16, cfg: VolpathConfig = Volpat
     """Render with the (restricted) volumetric path tracer, `spp` samples
     per pixel at pixel centers (matching the VRL renderer's deterministic
     center rays so images are comparable per-pixel)."""
+    from alvrl_tpu.media import api as _mapi
+
+    scene = _mapi.prepare_scene(scene)
     cam = scene.camera
     w, h = cam.width, cam.height
     px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))

@@ -445,6 +445,9 @@ def build_R(scene: Scene, ray_o, ray_d, vrls: VRLs, key, cfg: VRLConfig):
     luminance mean and variance-of-mean of the unclustered estimator
     (getLiLuminanceVrlContributions, vrlIntegrator.cpp:527-539).
     Returns (mean (P, N), var (P, N)) — the clustering's input."""
+    from alvrl_tpu.media import api as mapi_
+
+    scene = mapi_.prepare_scene(scene)
     b = ray_o.shape[0]
     hit = trace_eye_rays(scene, ray_o, ray_d)
     c = cfg.vrl_chunk
@@ -497,6 +500,9 @@ def _render_clustered_rows(
 ):
     """Clustered li for scanline rows [y_off, y_off+band_h);
     slice_rows: (band_h * W,) table rows for those pixels."""
+    from alvrl_tpu.media import api as mapi_
+
+    scene = mapi_.prepare_scene(scene)
     cam = scene.camera
     w = cam.width
     px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(band_h))
@@ -633,6 +639,9 @@ def render_unclustered(
 def _render_rows(scene: Scene, vrls: VRLs, key, y_off, band_h: int,
                  cfg: VRLConfig, ray_tile: int, antialias: bool = False):
     """Unclustered li for scanline rows [y_off, y_off + band_h)."""
+    from alvrl_tpu.media import api as mapi_
+
+    scene = mapi_.prepare_scene(scene)
     cam = scene.camera
     w = cam.width
     px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(band_h))

@@ -38,6 +38,26 @@ def is_homogeneous(med) -> bool:
     return isinstance(med, hmed.HomogeneousMedium)
 
 
+def prepare(med):
+    """Materialize per-medium lookup caches (grid media: the 2x
+    supersampled density). Idempotent; call ONCE at the top of each
+    jitted render entry point — the lazy property is re-traced inside
+    fori_loop/lax.map bodies and XLA does not hoist it (measured: the
+    recompute, not the gathers, dominated the hetero render)."""
+    if is_homogeneous(med):
+        return med
+    return gmed.with_cache(med)
+
+
+def prepare_scene(scene):
+    """Scene with prepared media (see prepare)."""
+    med = scene.medium
+    pmed = prepare(med)
+    if pmed is med:
+        return scene
+    return scene.replace(medium=pmed)
+
+
 def phase_g(med):
     return med.g
 

@@ -58,13 +58,22 @@ class GridMedium:
     # vs ESimpsonQuadrature): 0 = delta tracking, 1 = exact
     # transmittance inversion over a cumulative-OD table
     sampling: int = struct.field(pytree_node=False, default=0)
+    # Materialized 2x-supersampled density (see with_cache). XLA does
+    # NOT hoist the lazy _upsample2 out of fori_loop/lax.map bodies —
+    # the recompute dominated the hetero render (measured 0.74 s per
+    # quadrature step on config 4 vs ~1 ms for the gathers themselves).
+    # Entry points call media.api.prepare() so the upsample runs once
+    # per traced call; inside the trace, so voxel gradients still flow.
+    density_ss_cache: jax.Array = None
 
     @property
     def density_ss(self):
         """2x supersampled density (exact trilinear at half-steps),
-        shape (2Z-1, 2Y-1, 2X-1). Computed lazily from `density` with
-        jnp ops so voxel gradients flow; XLA hoists it out of the
-        per-sample loops (loop-invariant)."""
+        shape (2Z-1, 2Y-1, 2X-1). Uses the materialized cache when the
+        caller prepared one (media.api.prepare); otherwise computed
+        from `density` with jnp ops so voxel gradients flow."""
+        if self.density_ss_cache is not None:
+            return self.density_ss_cache
         return _upsample2(self.density)
 
     @property
@@ -105,6 +114,18 @@ def make_grid_medium(density, sigma_t_color, albedo, g=0.0,
         phase_params=phase_params,
         sigma_dir_max=sdm,
     )
+
+
+def with_cache(med: GridMedium) -> GridMedium:
+    """Return the medium with density_ss materialized (idempotent).
+
+    Call once at the top of a jitted render function — NOT per sample:
+    XLA's loop-invariant code motion does not hoist the upsample out of
+    fori_loop / lax.map bodies, so the lazy property recomputes the
+    full (2Z-1,2Y-1,2X-1) grid at every quadrature step."""
+    if med.density_ss_cache is not None or not med.fast_tau:
+        return med
+    return med.replace(density_ss_cache=_upsample2(med.density))
 
 
 def _up1(a, axis):
@@ -251,30 +272,46 @@ def dir_factor(med: GridMedium, p, d):
 N_TAU_STEPS = 16
 
 
+# Unroll threshold for the quadrature loops. TPU fori_loop iterations
+# with tiny bodies serialize and block fusion: the measured in-render
+# gather rate was 22.8 M/s under fori vs 89 M/s unrolled (4x) on the
+# config-4 shapes — each iteration pays loop overhead and forces its
+# (batch,)-shaped carries through HBM. Unrolled, XLA fuses the whole
+# accumulation chain. Above the threshold (step counts beyond any
+# render-path use) fall back to fori to bound code size.
+_UNROLL_MAX = 32
+
+
 def optical_depth(med: GridMedium, p0, p1, n_steps=N_TAU_STEPS):
     """Midpoint-rule integral of density along [p0, p1] (scalar).
 
-    Accumulated with a fori_loop so the (batch x n_steps) sample-point
-    tensor is never materialized — inside the pairwise VRL kernel the
-    broadcast version allocates (rays x vrls x steps) and faults the
-    device at benchmark sizes."""
+    Accumulates step by step (never materializing the full
+    (batch x n_steps) sample-point tensor — inside the pairwise VRL
+    kernel that allocates (rays x vrls x steps) and faults the device
+    at benchmark sizes); unrolled for small static step counts (see
+    _UNROLL_MAX)."""
     delta = p1 - p0
     dist = jnp.linalg.norm(delta, axis=-1)
     directional = _directional(med)
     if directional:
         d_unit = delta / jnp.maximum(dist, 1e-20)[..., None]
 
-    def body(i, acc):
-        t = (i.astype(jnp.float32) + 0.5) / n_steps
+    def step(i_f, acc):
+        t = (i_f + 0.5) / n_steps
         p = p0 + t * delta
         dens = _lookup_quad(med, p)
         if directional:
             dens = dens * dir_factor(med, p, d_unit)
         return acc + dens
 
-    total = jax.lax.fori_loop(
-        0, n_steps, body, jnp.zeros(jnp.shape(dist), jnp.float32)
-    )
+    total = jnp.zeros(jnp.shape(dist), jnp.float32)
+    if n_steps <= _UNROLL_MAX:
+        for i in range(n_steps):
+            total = step(jnp.float32(i), total)
+    else:
+        total = jax.lax.fori_loop(
+            0, n_steps, lambda i, a: step(i.astype(jnp.float32), a), total
+        )
     return total * dist / n_steps
 
 
