@@ -37,7 +37,8 @@ from alvrl_tpu.core import math as m
 from alvrl_tpu.core import rng, warp
 from alvrl_tpu.scene.scene import (
     COATING, DIELECTRIC, DIFFTRANS, DIFFUSE, HK, IRAWAN, MASK, MIXTURE,
-    NORMALMAP, PHONG, PLASTIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC, WARD,
+    NORMALMAP, PHONG, PLASTIC, ROUGH_COATING, ROUGH_CONDUCTOR,
+    ROUGH_DIELECTRIC, ROUGH_PLASTIC, WARD,
     Scene,
 )
 from alvrl_tpu.textures.procedural import albedo_at
@@ -49,11 +50,18 @@ def _leaf_eval_local(scene: Scene, mat_id, wi_l, wo_l, albedo):
     mats = scene.materials
     kind = mats.kind[mat_id]
     alpha = mats.alpha[mat_id]
+    alpha_v = mats.alpha_v[mat_id]
+    dist = mats.dist[mat_id]
     cos_o = jnp.maximum(wo_l[..., 2], 0.0)
 
     f_diffuse = albedo * (cos_o / jnp.pi)[..., None]
-    f_cond = mf.eval_rough_conductor(wi_l, wo_l, alpha, albedo)
-    f_rplastic = mf.eval_rough_plastic(wi_l, wo_l, alpha, albedo)
+    f_cond = mf.eval_rough_conductor_d(wi_l, wo_l, dist, alpha, alpha_v,
+                                       albedo)
+    f_rplastic = mf.eval_rough_plastic_d(wi_l, wo_l, dist, alpha, alpha_v,
+                                         albedo)
+    f_rdiel = albedo * mf.eval_rough_dielectric(
+        wi_l, wo_l, mats.eta[mat_id], dist, alpha, alpha_v
+    )[..., None]
     f_phong = lobes.eval_phong(
         wi_l, wo_l, albedo, mats.specular[mat_id], mats.exponent[mat_id]
     )
@@ -77,8 +85,12 @@ def _leaf_eval_local(scene: Scene, mat_id, wi_l, wo_l, albedo):
                         (kind == WARD)[..., None], f_ward,
                         jnp.where(
                             (kind == DIFFTRANS)[..., None], f_dtrans,
-                            jnp.where((kind == PLASTIC)[..., None],
-                                      f_plastic, 0.0),
+                            jnp.where(
+                                (kind == PLASTIC)[..., None], f_plastic,
+                                jnp.where(
+                                    (kind == ROUGH_DIELECTRIC)[..., None],
+                                    f_rdiel, 0.0),
+                            ),
                         ),
                     ),
                 ),
@@ -139,6 +151,34 @@ def eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
         mats.exponent[mat_id], mats.alpha[mat_id],
     )
 
+    # roughcoating.cpp eval (:257-320): glossy microfacet reflection at
+    # the coat interface + nested eval at SMOOTH-refracted directions,
+    # attenuated by the rough transmittance T(cos, alpha) both ways,
+    # slab absorption, and the same measure factor as smooth coating
+    a_rc = mats.alpha[mat_id]
+    dist_rc = mats.dist[mat_id]
+    same_side = wi_l[..., 2] * wo_l[..., 2] > 0
+    h_rc = m.normalize(wi_l + wo_l)
+    h_rc = h_rc * jnp.sign(h_rc[..., 2] + 1e-20)[..., None]
+    d_rc = mf.mf_d(dist_rc, h_rc, a_rc, a_rc)
+    g_rc = (mf.mf_g1(dist_rc, wi_l, h_rc, a_rc, a_rc)
+            * mf.mf_g1(dist_rc, wo_l, h_rc, a_rc, a_rc))
+    fr_rc = lobes.fresnel_dielectric_scalar(
+        jnp.abs(m.dot(wi_l, h_rc)), eta_c)
+    spec_rc = fr_rc * d_rc * g_rc / jnp.maximum(
+        4.0 * jnp.abs(wi_l[..., 2]), 1e-9)
+    spec_rc = jnp.where(same_side, spec_rc, 0.0)
+    t_i = mf.rough_transmittance_b(
+        mats.rt_table[mat_id], wi_l[..., 2], a_rc)
+    t_o = mf.rough_transmittance_b(
+        mats.rt_table[mat_id], wo_l[..., 2], a_rc)
+    f_rcoat = (
+        leaf(mats.nested[mat_id], wi=wi_p, wo=wo_p)
+        * (t_i * t_o * jac)[..., None] * absorb
+    )
+    f_rcoat = jnp.where(ok_c[..., None], f_rcoat, 0.0) \
+        + spec_rc[..., None]
+
     out = jnp.where(
         (kind == MASK)[..., None], w * f_n1,
         jnp.where(
@@ -146,9 +186,12 @@ def eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
             jnp.where(
                 (kind == COATING)[..., None], f_coat,
                 jnp.where(
-                    (kind == HK)[..., None], f_hk,
-                    jnp.where((kind == NORMALMAP)[..., None],
-                              f_n1, f_leaf),
+                    (kind == ROUGH_COATING)[..., None], f_rcoat,
+                    jnp.where(
+                        (kind == HK)[..., None], f_hk,
+                        jnp.where((kind == NORMALMAP)[..., None],
+                                  f_n1, f_leaf),
+                    ),
                 ),
             ),
         ),
@@ -169,10 +212,14 @@ def _leaf_pdf_local(scene: Scene, mat_id, wi_l, wo_l):
     kind = mats.kind[mat_id]
     alpha = mats.alpha[mat_id]
     albedo = mats.albedo[mat_id]
+    dist = mats.dist[mat_id]
     cos_o = jnp.maximum(wo_l[..., 2], 0.0)
 
     pdf_cos = cos_o / jnp.pi  # diffuse + rough-plastic + plastic base
-    pdf_ggx = mf.pdf_rough_conductor(wi_l, wo_l, alpha)
+    pdf_ggx = mf.pdf_rough_conductor_d(wi_l, wo_l, dist, alpha,
+                                       mats.alpha_v[mat_id])
+    pdf_rd = mf.pdf_rough_dielectric(wi_l, wo_l, mats.eta[mat_id], dist,
+                                     alpha, mats.alpha_v[mat_id])
     pdf_ph = lobes.pdf_phong(wi_l, wo_l, albedo, mats.specular[mat_id],
                              mats.exponent[mat_id])
     pdf_wd = lobes.pdf_ward(wi_l, wo_l, albedo, mats.specular[mat_id],
@@ -193,8 +240,12 @@ def _leaf_pdf_local(scene: Scene, mat_id, wi_l, wo_l):
                     kind == PHONG, pdf_ph,
                     jnp.where(
                         kind == WARD, pdf_wd,
-                        jnp.where(kind == DIFFTRANS, pdf_dt,
-                                  jnp.where(kind == PLASTIC, pdf_pl, 0.0)),
+                        jnp.where(
+                            kind == DIFFTRANS, pdf_dt,
+                            jnp.where(
+                                kind == PLASTIC, pdf_pl,
+                                jnp.where(kind == ROUGH_DIELECTRIC,
+                                          pdf_rd, 0.0))),
                     ),
                 ),
             ),
@@ -230,14 +281,34 @@ def pdf_smooth(scene: Scene, mat_id, ng, wi_world, wo_world, uv=None):
     p_coat = jnp.where(ok_c, p_coat, 0.0)
     p_hk = layered.hk_pdf(wi_l, wo_l)
 
+    # roughcoating pdf: glossy-lobe pdf * selection prob + nested pdf
+    # at refracted dirs * (1 - prob) * measure jac (roughcoating.cpp
+    # :322-366 structure; selection prob = 1 - T(cos_i, alpha))
+    a_rc = mats.alpha[mat_id]
+    dist_rc = mats.dist[mat_id]
+    t_i = mf.rough_transmittance_b(
+        mats.rt_table[mat_id], wi_l[..., 2], a_rc)
+    prob_spec = jnp.clip(1.0 - t_i, 0.05, 0.95)
+    h_rc = m.normalize(wi_l + wo_l)
+    h_rc = h_rc * jnp.sign(h_rc[..., 2] + 1e-20)[..., None]
+    p_spec = mf.mf_pdf(dist_rc, h_rc, a_rc, a_rc) / jnp.maximum(
+        4.0 * jnp.abs(m.dot(wo_l, h_rc)), 1e-9)
+    p_spec = jnp.where(wi_l[..., 2] * wo_l[..., 2] > 0, p_spec, 0.0)
+    p_rcoat = prob_spec * p_spec + (1.0 - prob_spec) * jnp.where(
+        ok_c, _leaf_pdf_local(scene, mats.nested[mat_id], wi_p, wo_p)
+        * jac, 0.0)
+
     return jnp.where(
         kind == MASK, w * p_n1,
         jnp.where(
             kind == MIXTURE, w * p_n1 + (1.0 - w) * p_n2,
             jnp.where(
                 kind == COATING, p_coat,
-                jnp.where(kind == HK, p_hk,
-                          jnp.where(kind == NORMALMAP, p_n1, p_leaf)),
+                jnp.where(
+                    kind == ROUGH_COATING, p_rcoat,
+                    jnp.where(kind == HK, p_hk,
+                              jnp.where(kind == NORMALMAP, p_n1, p_leaf)),
+                ),
             ),
         ),
     )
@@ -308,9 +379,20 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
     fi_c = lobes.fresnel_dielectric_scalar(jnp.abs(wi_l[..., 2]), eta_c)
     coat_refl = is_coat & (u_sel < fi_c)
     coat_trans = is_coat & ~coat_refl
+    # roughcoating.cpp: the glossy coat lobe is selected with prob
+    # 1 - T(cos_i, alpha) (the reflected energy fraction)
+    is_rcoat = kind0 == ROUGH_COATING
+    a_rc0 = mats.alpha[mat_id]
+    dist_rc0 = mats.dist[mat_id]
+    t_i_rc = mf.rough_transmittance_b(
+        mats.rt_table[mat_id], wi_l[..., 2], a_rc0)
+    prob_spec_rc = jnp.clip(1.0 - t_i_rc, 0.05, 0.95)
+    rcoat_refl = is_rcoat & (u_sel < prob_spec_rc)
+    rcoat_trans = is_rcoat & ~rcoat_refl
+    wi_orig_l = wi_l
     wi_refr, _ = layered.refract_z(wi_l, 1.0 / eta_c)
-    wi_l = jnp.where(coat_trans[..., None], wi_refr, wi_l)
-    eff = jnp.where(coat_trans, mats.nested[mat_id], eff)
+    wi_l = jnp.where((coat_trans | rcoat_trans)[..., None], wi_refr, wi_l)
+    eff = jnp.where(coat_trans | rcoat_trans, mats.nested[mat_id], eff)
 
     kind = mats.kind[eff]
     albedo = albedo_at(scene, eff, p_world, uv=uv)
@@ -340,6 +422,11 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
     wo_pl_l, w_pl, pl_delta = lobes.sample_plastic_smooth(
         u3, wi_l, albedo, mats.eta[eff]
     )
+    wo_rd_l, w_rd, _, rd_trans = mf.sample_rough_dielectric(
+        u3, wi_l, mats.eta[eff], mats.dist[eff], alpha,
+        mats.alpha_v[eff], mode=mode,
+    )
+    w_rd = w_rd * albedo  # specular reflect/transmit tint
 
     # delta kinds (mirror/null/dielectric) in world space
     wo_spec, w_spec, eta_ratio_d, is_delta_kind = specular_bounce(
@@ -366,7 +453,8 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
          (kind == PHONG, wo_ph_l),
          (kind == WARD, wo_wd_l),
          (kind == DIFFTRANS, wo_dt_l),
-         (kind == PLASTIC, wo_pl_l)],
+         (kind == PLASTIC, wo_pl_l),
+         (kind == ROUGH_DIELECTRIC, wo_rd_l)],
         wo_diffuse_l,  # DIFFUSE + ROUGH_PLASTIC use the cosine lobe
     )
     weight = pick_l(
@@ -375,7 +463,8 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
          (kind == PHONG, w_ph),
          (kind == WARD, w_wd),
          (kind == DIFFTRANS, w_dt),
-         (kind == PLASTIC, w_pl)],
+         (kind == PLASTIC, w_pl),
+         (kind == ROUGH_DIELECTRIC, w_rd)],
         w_diffuse,
     )
     # ---- coating exit: refract the nested sample back out -------------
@@ -397,6 +486,38 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
     weight = jnp.where(coat_trans[..., None], w_coat_t, weight)
     weight = jnp.where(coat_refl[..., None], jnp.ones_like(weight),
                        weight)
+
+    # ---- rough coating (roughcoating.cpp:368-470) ---------------------
+    # reflection: sample the microfacet lobe at the ORIGINAL wi;
+    # weight = F D G / (4|ci|) / (pdf_m jac prob_spec)
+    mh_rc, _ = mf.mf_sample(dist_rc0, u2, a_rc0, a_rc0)
+    cos_wih_rc = m.dot(wi_orig_l, mh_rc)
+    wo_rc_spec = 2.0 * cos_wih_rc[..., None] * mh_rc - wi_orig_l
+    fr_rc = lobes.fresnel_dielectric_scalar(jnp.abs(cos_wih_rc), eta_c)
+    d_rc = mf.mf_d(dist_rc0, mh_rc, a_rc0, a_rc0)
+    g_rc = (mf.mf_g1(dist_rc0, wi_orig_l, mh_rc, a_rc0, a_rc0)
+            * mf.mf_g1(dist_rc0, wo_rc_spec, mh_rc, a_rc0, a_rc0))
+    fcos_rc = fr_rc * d_rc * g_rc / jnp.maximum(
+        4.0 * jnp.abs(wi_orig_l[..., 2]), 1e-9)
+    pdf_rc_spec = (mf.mf_pdf(dist_rc0, mh_rc, a_rc0, a_rc0)
+                   / jnp.maximum(4.0 * jnp.abs(
+                       m.dot(wo_rc_spec, mh_rc)), 1e-9))
+    ok_rc_r = (wo_rc_spec[..., 2] * wi_orig_l[..., 2] > 0) \
+        & (pdf_rc_spec > 1e-20)
+    w_rcoat_r = (fcos_rc / jnp.maximum(
+        pdf_rc_spec * prob_spec_rc, 1e-20))[..., None] \
+        * jnp.ones((3,), jnp.float32)
+    # transmission: nested weight x T_i/p_t x T_o(exit) x absorption
+    t_o_rc = mf.rough_transmittance_b(
+        mats.rt_table[mat_id], wo_exit[..., 2], a_rc0)
+    w_rcoat_t = weight * (
+        t_i_rc / jnp.maximum(1.0 - prob_spec_rc, 1e-6) * t_o_rc
+    )[..., None] * absorb_c
+    rcoat_dead = (rcoat_trans & ~ok_exit) | (rcoat_refl & ~ok_rc_r)
+    wo_l = jnp.where(rcoat_trans[..., None], wo_exit, wo_l)
+    wo_l = jnp.where(rcoat_refl[..., None], wo_rc_spec, wo_l)
+    weight = jnp.where(rcoat_trans[..., None], w_rcoat_t, weight)
+    weight = jnp.where(rcoat_refl[..., None], w_rcoat_r, weight)
 
     # ---- HK slab: delta transmission vs two-sided cosine lobe ---------
     sig_s_hk = mats.albedo[mat_id]
@@ -438,12 +559,20 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
         (kind == DIFFUSE) | (kind == ROUGH_CONDUCTOR)
         | (kind == ROUGH_PLASTIC) | (kind == PHONG) | (kind == WARD)
         | (kind == DIFFTRANS) | (kind == PLASTIC) | (kind == IRAWAN)
+        | (kind == ROUGH_DIELECTRIC)
     )
     sampled_delta = (is_delta_kind | ((kind == PLASTIC) & pl_delta)
                      | coat_refl | hk_delta)
     wo = jnp.where(is_delta_kind[..., None], wo_spec, wo_world)
     weight = jnp.where(is_delta_kind[..., None], w_spec, weight)
     eta_ratio = jnp.where(is_delta_kind, eta_ratio_d, 1.0)
+    # rough-dielectric refraction changes the relative IOR like the
+    # smooth dielectric delta lobe does
+    rd_eta = jnp.where(wi_l[..., 2] > 0,
+                       1.0 / jnp.maximum(mats.eta[eff], 1e-6),
+                       mats.eta[eff])
+    eta_ratio = jnp.where((kind == ROUGH_DIELECTRIC) & rd_trans,
+                          rd_eta, eta_ratio)
 
     # plastic's sampled delta lobe: mirror reflection about ng
     wo_pl_spec = m.frame_to_world(s_f, t_f, ng, wo_pl_l)
@@ -459,12 +588,12 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
     weight = jnp.where(mask_pass[..., None], jnp.ones_like(weight), weight)
     eta_ratio = jnp.where(mask_pass, 1.0, eta_ratio)
     is_delta = sampled_delta | mask_pass
-    valid = (smooth_kinds | is_delta_kind | mask_pass | is_coat | is_hk) \
-        & ~coat_dead
+    valid = (smooth_kinds | is_delta_kind | mask_pass | is_coat
+             | is_rcoat | is_hk) & ~coat_dead & ~rcoat_dead
     # the smooth flag reports the *material*: PLASTIC keeps a smooth
     # base even when the delta coat was sampled
-    is_smooth = (smooth_kinds | is_coat | is_hk) & ~mask_pass
-    weight = jnp.where(coat_dead[..., None], 0.0, weight)
+    is_smooth = (smooth_kinds | is_coat | is_rcoat | is_hk) & ~mask_pass
+    weight = jnp.where((coat_dead | rcoat_dead)[..., None], 0.0, weight)
     return BSDFSample(
         wo=wo, weight=weight, eta_ratio=eta_ratio,
         is_delta=is_delta, is_smooth=is_smooth, valid=valid,

@@ -35,6 +35,9 @@ AREA = 3       # one triangle per entry (quad lights = 2 entries)
 CONSTANT = 4   # constant environment radiance (constant.cpp)
 ENVMAP = 5     # lat-long environment texture (envmap.cpp; sky/sun bake
                # into it via emitters.sunsky)
+COLLIMATED = 6  # collimated beam: delta position AND delta direction
+                # (collimated.cpp:57-127) — radiates `intensity` (the
+                # beam power) along the fixed ray (position, direction)
 
 
 @struct.dataclass
@@ -197,6 +200,11 @@ def sample_emission(em: Emitters, key, scene_center, scene_radius):
         / em.pmf[idx]
     )
 
+    # collimated: both position and direction are deltas — the photon
+    # starts at the emitter position along its axis carrying the full
+    # beam power (sampleRay, collimated.cpp:117-126)
+    w_coll = inten
+
     is_area = kind == AREA
     is_env = kind == CONSTANT
     is_map = kind == ENVMAP
@@ -221,7 +229,9 @@ def sample_emission(em: Emitters, key, scene_center, scene_radius):
                   jnp.where(is_area[..., None], w_area,
                             jnp.where(is_env[..., None], w_env,
                                       jnp.where(is_map[..., None], w_map,
-                                                w_dir)))),
+                                                jnp.where(
+                                                    (kind == COLLIMATED)[..., None],
+                                                    w_coll, w_dir))))),
     )
     return pos, d, weight
 
@@ -300,6 +310,9 @@ def nee_u(em: Emitters, u3, p, scene_radius):
                                       jnp.where(is_map[..., None], v_map,
                                                 v_dir)))),
     )
+    # collimated: direct sampling of a 0-dimensional response always
+    # fails (sampleDirect returns pdf 0, collimated.cpp:128-132)
+    out_v = jnp.where((kind == COLLIMATED)[..., None], 0.0, out_v)
     out_dist = jnp.where(
         is_dir, dist_dir,
         jnp.where(is_area, dist_a,

@@ -114,7 +114,8 @@ def trace_photons(scene: Scene, key, num_particles: int,
             )
 
             wo_phase, w_phase, _ = ph.sample_phase(
-                med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
+                med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase),
+                pp=med.phase_params,
             )
             wo_bsdf, w_bsdf, eta_ratio, bsdf_valid = _sample_bsdf_importance(
                 scene, k_bsdf, mat_id, hit.ng, hit.ng_raw,
@@ -245,7 +246,8 @@ def volume_estimate(scene: Scene, pm: PhotonMap, q_pos, q_w, radius,
         d2 = m.length_sq(q_pos[:, None, :] - p_c[None, :, :])
         inside = (d2 < r2) & v_c[None, :]
         rho = ph.eval_phase(
-            med.phase_kind, med.g, wi_c[None, :, :], -q_w[:, None, :]
+            med.phase_kind, med.g, wi_c[None, :, :], -q_w[:, None, :],
+            pp=med.phase_params,
         )
         return acc + jnp.sum(
             jnp.where(inside[..., None], rho[..., None] * phi_c[None, :, :], 0.0),
@@ -424,7 +426,132 @@ def volume_estimate_grid(scene: Scene, pm: PhotonMap, grid: HashGrid,
     med = scene.medium
     d2 = m.length_sq(q_pos[:, None, :] - p)
     inside = (d2 < r2) & v
-    rho = ph.eval_phase(med.phase_kind, med.g, wi, -q_w[:, None, :])
+    rho = ph.eval_phase(med.phase_kind, med.g, wi, -q_w[:, None, :],
+                        pp=med.phase_params)
     acc = jnp.sum(
         jnp.where(inside[..., None], rho[..., None] * phi, 0.0), axis=1)
     return acc / (vol * jnp.maximum(pm.n_emitted, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Beam Radiance Estimate (src/integrators/photonmapper/bre.cpp): the
+# volumetric half of the photon mapper. Instead of point-sampling the
+# in-scattered radiance at ray-march steps, every volume photon gets a
+# radius from a locally-uniform-density kNN estimate (bre.cpp:60-75)
+# and the camera ray gathers ALL photon discs it pierces in one sweep
+# (query, bre.cpp:138-180) — an O(1)-variance beam estimate along the
+# whole ray. TPU re-design: the reference walks a photon-kd-tree/AABB
+# hierarchy per ray; here both the kNN radius build and the beam query
+# are dense chunked (query x photon) masked reductions on the VPU —
+# same shape as the triangle and photon sweeps above, no divergent
+# traversal.
+# ---------------------------------------------------------------------------
+
+
+def bre_radii(pm: PhotonMap, lookup_size: int = 120, chunk: int = 1024):
+    """Per-photon BRE radius: r_i = sqrt(d2_k * sizeFactor) with d2_k
+    the squared distance to the k-th nearest volume photon, using the
+    Jarosz reduced-lookup extrapolation k = sqrt(lookupSize),
+    sizeFactor = lookupSize / k (bre.cpp:29-75). Invalid photons get
+    radius 0."""
+    k_red = max(1, int(np.sqrt(lookup_size)))
+    size_factor = lookup_size / k_red
+    pos = pm.v_pos
+    valid = pm.v_valid
+    n = pos.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    q = jnp.pad(pos, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+    def body(_, q_c):
+        d2 = m.length_sq(q_c[:, None, :] - pos[None, :, :])
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        # k_red-th nearest EXCLUDING self (self d2=0 is always among the
+        # top_k, so ask for one more)
+        neg_top, _ = jax.lax.top_k(-d2, k_red + 1)
+        return None, -neg_top[:, -1]
+
+    _, d2k = jax.lax.scan(body, None, q)
+    d2k = d2k.reshape(-1)[:n]
+    r = jnp.sqrt(jnp.where(jnp.isfinite(d2k), d2k * size_factor, 0.0))
+    return jnp.where(valid, r, 0.0)
+
+
+def bre_query(scene: Scene, pm: PhotonMap, radii, ray_o, ray_d, t_max,
+              chunk: int = 2048):
+    """Beam radiance estimate along (ray_o, ray_d) up to t_max:
+      sum_i tau(0, t_i) Phi_i rho(-wi_i, -d) K2(d2/r_i^2)/r_i^2 / N
+    over photons whose disc (center x_i, radius r_i, facing the ray) the
+    ray pierces at t_i = dot(x_i - o, d) (bre.cpp:query:138-180;
+    K2(x) = 3/pi (1-x)^2, bre.h:62-65). Homogeneous-medium
+    transmittance, exactly like the reference query (it reads
+    medium->getSigmaT() directly)."""
+    med = scene.medium
+    sigma_t = med.sigma_t  # homogeneous only, as in bre.cpp:144
+    n = pm.v_pos.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def padded(a):
+        if pad == 0:
+            return a
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    pp_ = padded(pm.v_pos).reshape(n_chunks, chunk, 3)
+    pw_ = padded(pm.v_wi).reshape(n_chunks, chunk, 3)
+    phi_ = padded(pm.v_power).reshape(n_chunks, chunk, 3)
+    pv_ = padded(pm.v_valid).reshape(n_chunks, chunk)
+    pr_ = padded(radii).reshape(n_chunks, chunk)
+
+    def body(acc, inp):
+        p_c, wi_c, phi_c, v_c, r_c = inp
+        to_c = p_c[None, :, :] - ray_o[:, None, :]      # (B, C, 3)
+        t_disk = m.dot(to_c, ray_d[:, None, :])          # (B, C)
+        closest = ray_o[:, None, :] + t_disk[..., None] * ray_d[:, None, :]
+        d2 = m.length_sq(closest - p_c[None, :, :])
+        r2 = jnp.maximum(r_c * r_c, 1e-20)[None, :]
+        inside = (
+            (t_disk > 0.0) & (t_disk < t_max[:, None]) & (d2 < r2)
+            & v_c[None, :] & (r_c > 0.0)[None, :]
+        )
+        kern = (3.0 / jnp.pi) * (1.0 - d2 / r2) ** 2 / r2
+        rho = ph.eval_phase(med.phase_kind, med.g, wi_c[None, :, :],
+                            -ray_d[:, None, :], pp=med.phase_params)
+        tau = jnp.exp(-sigma_t[None, None, :] * t_disk[..., None])
+        contrib = tau * phi_c[None, :, :] * (kern * rho)[..., None]
+        return acc + jnp.sum(
+            jnp.where(inside[..., None], contrib, 0.0), axis=1), None
+
+    init = jnp.zeros((ray_o.shape[0], 3))
+    acc, _ = jax.lax.scan(body, init, (pp_, pw_, phi_, pv_, pr_))
+    return acc / jnp.maximum(pm.n_emitted, 1.0)
+
+
+@partial(jax.jit, static_argnames=("chunk", "lookup_size"))
+def render_photonmap_bre(scene: Scene, pm: PhotonMap, key, r_surface,
+                         lookup_size: int = 120, chunk: int = 2048):
+    """Eye pass with the BRE as the volumetric term (the photonmapper's
+    medium path when a BRE is attached, photonmapper.cpp): one beam
+    gather per camera ray replaces the jittered ray march of
+    render_photonmap."""
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px, py = px.reshape(-1), py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    hit = intersect.intersect_all(ray_o, ray_d, scene.vertices, scene.faces)
+    hit_p = jnp.where(hit.valid[..., None], hit.p, ray_o)
+    t_hit = jnp.where(hit.valid, hit.t, 0.0)
+    mat = scene.material[jnp.maximum(hit.prim, 0)]
+    med = scene.medium
+
+    radii = bre_radii(pm, lookup_size=lookup_size)
+    li_vol = bre_query(scene, pm, radii, ray_o, ray_d, t_hit, chunk)
+
+    lr = surface_estimate(
+        scene, pm, hit_p, -ray_d, hit.ng, mat, r_surface, chunk
+    )
+    tau_surf = mapi.transmittance(med, ray_o, hit_p)
+    li = li_vol + jnp.where(hit.valid[..., None], lr * tau_surf, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)

@@ -119,7 +119,8 @@ def li_from_uniforms(scene: Scene, u, cfg: PSSMLTConfig):
         endpoint = p_med + nee_dist[..., None] * nee_dir
         tau_nee = eval_transmittance_between(scene, p_med, endpoint)
         phase_val = ph.eval_phase(
-            med.phase_kind, med.g, -state["ray_d"], nee_dir
+            med.phase_kind, med.g, -state["ray_d"], nee_dir,
+            pp=med.phase_params,
         )
         li_med = jnp.where(
             medium_event[..., None],
@@ -127,7 +128,7 @@ def li_from_uniforms(scene: Scene, u, cfg: PSSMLTConfig):
         )
         wo_phase, w_phase, _ = ph.sample_phase(
             med.phase_kind, med.g, -state["ray_d"],
-            ud[_D_PHASE:_D_PHASE + 2],
+            ud[_D_PHASE:_D_PHASE + 2], pp=med.phase_params,
         )
         tp_med_cont = tp_med * w_phase[..., None]
 

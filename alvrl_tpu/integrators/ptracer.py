@@ -105,7 +105,8 @@ def _trace_and_splat_one(scene: Scene, key, cfg: TracerConfig):
         beta_med_v = state["beta"] * ms.w_scatter
         dir_pc = m.normalize(cam_pos - ms.p)
         f_med = ph.eval_phase(
-            med.phase_kind, med.g, -state["ray_d"], dir_pc
+            med.phase_kind, med.g, -state["ray_d"], dir_pc,
+            pp=med.phase_params,
         )[..., None]
         xm, ym, vm, on_m = _camera_splat_value(
             scene, ms.p, beta_med_v * f_med
@@ -135,7 +136,8 @@ def _trace_and_splat_one(scene: Scene, key, cfg: TracerConfig):
 
         # ---- continuation (same walk as the VRL tracer) -------------
         wo_phase, w_phase, _ = ph.sample_phase(
-            med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
+            med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase),
+            pp=med.phase_params,
         )
         wo_bsdf, w_bsdf, eta_ratio, bsdf_valid = _sample_bsdf_importance(
             scene, k_bsdf, mat_id, hit.ng, hit.ng_raw, state["ray_d"], hit.p

@@ -204,7 +204,7 @@ def li_volpath(scene: Scene, ray_o, ray_d, key, cfg: VolpathConfig):
             med_id=state["med_id"] if nested else None,
         )
         orient = gmed.lookup_orientation(med, p_med) if oriented else None
-        pp = med.phase_params if oriented else None
+        pp = med.phase_params  # mixture/oriented params; None otherwise
         phase_val = ph.eval_phase(
             med.phase_kind, med.g, -state["ray_d"], nee_dir,
             orientation=orient, pp=pp,

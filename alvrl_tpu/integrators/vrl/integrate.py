@@ -297,8 +297,10 @@ def pair_contribution(
                 # cancel the tracer's endpoint-sampling score
                 pf = jax.lax.stop_gradient(pf)
             c = c / pf[..., None]
-        c = c * ph.eval_phase(med.phase_kind, med.g, -vu, -ray_d)[..., None]
-        c = c * ph.eval_phase(med.phase_kind, med.g, -sv_dir, vu)[..., None]
+        c = c * ph.eval_phase(med.phase_kind, med.g, -vu, -ray_d,
+                              pp=med.phase_params)[..., None]
+        c = c * ph.eval_phase(med.phase_kind, med.g, -sv_dir, vu,
+                              pp=med.phase_params)[..., None]
         ok = (d_uv > 0.0) & jnp.all(jnp.isfinite(c), axis=-1)
         return jnp.where(ok[..., None], c, 0.0)
 
@@ -324,7 +326,8 @@ def pair_contribution(
                 # cancel the tracer's endpoint-sampling score
                 pf = jax.lax.stop_gradient(pf)
             c = c / pf[..., None]
-        c = c * ph.eval_phase(med.phase_kind, med.g, -sv_dir, vu)[..., None]
+        c = c * ph.eval_phase(med.phase_kind, med.g, -sv_dir, vu,
+                              pp=med.phase_params)[..., None]
         c = c * bsdf_eval_smooth(
             scene, hit_mat, hit_ng, -ray_d, -vu, p_world=hit_p
         )

@@ -149,14 +149,16 @@ def _trace_one(scene: Scene, key, cfg: TracerConfig):
                               state["ray_o"])
         factor_med = ms.w_scatter
         wo_phase, w_phase, _ = ph.sample_phase(
-            med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase)
+            med.phase_kind, med.g, -state["ray_d"], rng.uniform2(k_phase),
+            pp=med.phase_params,
         )
         # geometry detached: the sampled direction's pathwise d(wo)/dg
         # chain is replaced by the score surrogate below
         wo_phase = jax.lax.stop_gradient(wo_phase)
         if cfg.score_phase and med.phase_kind == ph.HG:
             ph_val = ph.eval_phase(
-                med.phase_kind, med.g, -state["ray_d"], wo_phase)
+                med.phase_kind, med.g, -state["ray_d"], wo_phase,
+                pp=med.phase_params)
             ratio = ph_val / jax.lax.stop_gradient(
                 jnp.maximum(ph_val, 1e-30))
             w_phase = w_phase * ratio

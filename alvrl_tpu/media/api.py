@@ -40,10 +40,18 @@ def is_homogeneous(med) -> bool:
 
 def prepare(med):
     """Materialize per-medium lookup caches (grid media: the 2x
-    supersampled density). Idempotent; call ONCE at the top of each
-    jitted render entry point — the lazy property is re-traced inside
+    supersampled density). Call ONCE at the top of each jitted render
+    entry point — the lazy property is re-traced inside
     fori_loop/lax.map bodies and XLA does not hoist it (measured: the
-    recompute, not the gathers, dominated the hetero render)."""
+    recompute, not the gathers, dominated the hetero render).
+
+    Gradient caveat: call prepare INSIDE the traced/differentiated
+    function (as every entry point here does). Preparing a concrete
+    medium outside jit and differentiating w.r.t. `density` later gives
+    ZERO voxel gradients through the NN-lookup path — the cache is then
+    a constant, not a function of density. with_cache recomputes from
+    the current density on every call, so re-preparing inside the trace
+    is both safe and free (XLA CSE)."""
     if is_homogeneous(med):
         return med
     return gmed.with_cache(med)

@@ -117,13 +117,20 @@ def make_grid_medium(density, sigma_t_color, albedo, g=0.0,
 
 
 def with_cache(med: GridMedium) -> GridMedium:
-    """Return the medium with density_ss materialized (idempotent).
+    """Return the medium with density_ss materialized.
 
     Call once at the top of a jitted render function — NOT per sample:
     XLA's loop-invariant code motion does not hoist the upsample out of
     fori_loop / lax.map bodies, so the lazy property recomputes the
-    full (2Z-1,2Y-1,2X-1) grid at every quadrature step."""
-    if med.density_ss_cache is not None or not med.fast_tau:
+    full (2Z-1,2Y-1,2X-1) grid at every quadrature step.
+
+    ALWAYS recomputes from the current `density` (never trusts an
+    existing cache): a prepared medium whose density was later replaced
+    (optimization loops do `med.replace(density=new)`) would otherwise
+    keep serving the stale supersample — silently wrong taus and exact
+    zero d/d(density) gradients. Re-preparing a consistent medium is
+    free inside a trace (XLA CSEs the duplicate upsample)."""
+    if not med.fast_tau:
         return med
     return med.replace(density_ss_cache=_upsample2(med.density))
 
@@ -327,16 +334,33 @@ def cumulative_od(med: GridMedium, p0, p1, n_steps=N_TAU_STEPS):
     if directional:
         d_unit = delta / jnp.maximum(dist, 1e-20)[..., None]
 
-    def body(i, acc):
-        t = (i.astype(jnp.float32) + 0.5) / n_steps
-        p = p0 + t * delta
+    def dens_at(i_f):
+        p = p0 + ((i_f + 0.5) / n_steps) * delta
         d = _lookup_quad(med, p)
         if directional:
             d = d * dir_factor(med, p, d_unit)
-        return acc.at[..., i + 1].set(acc[..., i] + d)
+        return d
 
-    cum = jnp.zeros(jnp.shape(dist) + (n_steps + 1,), jnp.float32)
-    cum = jax.lax.fori_loop(0, n_steps, body, cum)
+    if n_steps <= _UNROLL_MAX:
+        # unrolled: collect per-step densities and cumsum — avoids both
+        # the fori overhead and the .at[].set scatter carry (measured
+        # ~23 M lookups/s under fori vs ~89 M/s unrolled; see
+        # _UNROLL_MAX note above)
+        steps = jnp.stack(
+            [dens_at(jnp.float32(i)) for i in range(n_steps)], axis=-1
+        )
+        cum = jnp.concatenate(
+            [jnp.zeros(jnp.shape(dist) + (1,), jnp.float32),
+             jnp.cumsum(steps, axis=-1)],
+            axis=-1,
+        )
+    else:
+        def body(i, acc):
+            d = dens_at(i.astype(jnp.float32))
+            return acc.at[..., i + 1].set(acc[..., i] + d)
+
+        cum = jnp.zeros(jnp.shape(dist) + (n_steps + 1,), jnp.float32)
+        cum = jax.lax.fori_loop(0, n_steps, body, cum)
     return cum * (dist / n_steps)[..., None]
 
 

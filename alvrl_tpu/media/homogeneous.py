@@ -39,6 +39,7 @@ class HomogeneousMedium:
     strategy: int = struct.field(pytree_node=False, default=0)  # BALANCE
     channel: int = struct.field(pytree_node=False, default=0)   # SINGLE
     density: jax.Array = None  # MANUAL sampling density (scalar)
+    phase_params: object = None  # phase.PhaseParams (MIXTURE kind) or None
 
     def __post_init__(self):
         if self.density is None:
@@ -59,7 +60,8 @@ class HomogeneousMedium:
 
 
 def make_medium(sigma_a, sigma_s, g=0.0, sampling_weight=None,
-                phase_kind=0, strategy=0, channel=0, density=1.0):
+                phase_kind=0, strategy=0, channel=0, density=1.0,
+                phase_params=None):
     """Build a medium with the reference's default sampling weight:
     max channel albedo, clamped to >= 0.5 when scattering
     (homogeneous.cpp:168-184)."""
@@ -81,6 +83,7 @@ def make_medium(sigma_a, sigma_s, g=0.0, sampling_weight=None,
         strategy=strategy,
         channel=channel,
         density=jnp.asarray(density, jnp.float32),
+        phase_params=phase_params,
     )
 
 

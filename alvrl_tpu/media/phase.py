@@ -31,6 +31,7 @@ HG = 0          # hg.cpp (g=0 == isotropic.cpp)
 RAYLEIGH = 1    # rayleigh.cpp
 KKAY = 2        # kkay.cpp (Kajiya-Kay fibers; needs orientation)
 MICROFLAKE = 3  # microflake.cpp (Gaussian fiber flakes; orientation)
+MIXTURE = 4     # mixturephase.cpp: convex combination of components
 
 _G_EPS = 1e-4
 
@@ -99,7 +100,8 @@ def sample_rayleigh(wi, u2):
 
 class PhaseParams(NamedTuple):
     """Static-shape parameter bundle for oriented phase functions.
-    kkay: ks/kd/exponent/norm; microflake: stddev + sigma_t lut."""
+    kkay: ks/kd/exponent/norm; microflake: stddev + sigma_t lut;
+    mixture: component weights/kinds/g."""
 
     ks: jax.Array = None
     kd: jax.Array = None
@@ -107,6 +109,9 @@ class PhaseParams(NamedTuple):
     norm: jax.Array = None
     stddev: jax.Array = None
     sigma_t_lut: jax.Array = None  # (K,) sigma_t(|cos theta|), theta vs fiber
+    mix_w: jax.Array = None        # (K,) normalized component weights
+    mix_kind: jax.Array = None     # (K,) int32 component kinds (HG/RAYLEIGH)
+    mix_g: jax.Array = None        # (K,) HG g per component (0 = isotropic)
 
 
 def kkay_params(ks=0.4, kd=0.2, exponent=4.0) -> PhaseParams:
@@ -265,6 +270,84 @@ def sample_kkay(pp: PhaseParams, orientation, wi, u2):
     return wo, val * (4.0 * jnp.pi), pdf
 
 
+# ---------------------------------------------------------------------------
+# Mixture phase function (src/phase/mixturephase.cpp): a convex
+# combination of component phase functions. The reference mixes
+# arbitrary phase plugins through virtual dispatch; the TPU re-design
+# restricts components to the unoriented analytic kinds (HG with
+# per-component g — g=0 is isotropic — and Rayleigh) and evaluates all
+# components branchlessly (a couple of extra VPU flops instead of a
+# data-dependent dispatch). Oriented kinds (kkay/microflake) need the
+# medium's orientation volume and are not mixable, matching practical
+# reference scenes.
+# ---------------------------------------------------------------------------
+
+def mixture_params(weights, kinds, gs) -> PhaseParams:
+    """Build mixture params. Weights must be non-negative; they are
+    rescaled to sum to one when they exceed it (energy conservation,
+    mixturephase.cpp:93-113) and renormalized into the component-
+    selection pmf either way."""
+    w = np.asarray(weights, np.float64).reshape(-1)
+    if w.size == 0 or (w < 0).any() or w.sum() <= 0:
+        raise ValueError("mixture weights must be non-negative and sum > 0")
+    if w.sum() > 1.0:
+        w = w / w.sum()
+    k = np.asarray(kinds, np.int32).reshape(-1)
+    g = np.asarray(gs, np.float64).reshape(-1)
+    if not (w.size == k.size == g.size):
+        raise ValueError("mixture component count mismatch")
+    if not np.isin(k, [HG, RAYLEIGH]).all():
+        raise ValueError("mixture components must be HG or Rayleigh kinds")
+    return PhaseParams(
+        mix_w=jnp.asarray(w / w.sum(), jnp.float32),
+        mix_kind=jnp.asarray(k),
+        mix_g=jnp.asarray(g, jnp.float32),
+    )
+
+
+def _mix_component_eval(pp: PhaseParams, wi, wo):
+    """(..., K) per-component phase values at (wi, wo)."""
+    c = m.dot(wi, wo)[..., None]                     # (..., 1)
+    g = pp.mix_g                                     # (K,)
+    temp = jnp.maximum(1.0 + g * g + 2.0 * g * c, 1e-12)
+    hg = m.INV_FOURPI * (1.0 - g * g) / (temp * jnp.sqrt(temp))
+    ray = (3.0 / (16.0 * jnp.pi)) * (1.0 + c * c)
+    return jnp.where(pp.mix_kind == RAYLEIGH, ray, hg)
+
+
+def eval_mixture(pp: PhaseParams, wi, wo):
+    """sum_i w_i * eval_i (mixturephase.cpp:eval)."""
+    return jnp.sum(pp.mix_w * _mix_component_eval(pp, wi, wo), axis=-1)
+
+
+def pdf_mixture(pp: PhaseParams, wi, wo):
+    """Selection-weighted pdf: every component importance-samples its
+    own lobe exactly, so pdf_i == eval_i and the mixture pdf equals the
+    mixture value (mixturephase.cpp:pdf)."""
+    return eval_mixture(pp, wi, wo)
+
+
+def sample_mixture(pp: PhaseParams, wi, u2):
+    """Pick a component ~ weights (reusing/rescaling u2[...,0], the
+    standard one-uniform trick), sample its lobe, and weight by
+    eval/pdf of the full mixture (mixturephase.cpp:sample). Since each
+    component samples itself perfectly, eval == pdf and the weight is
+    exactly 1."""
+    u0, u1 = u2[..., 0], u2[..., 1]
+    cdf = jnp.cumsum(pp.mix_w)
+    j = jnp.clip(jnp.searchsorted(cdf, u0 * cdf[-1], side="right"),
+                 0, pp.mix_w.shape[0] - 1)
+    lo = jnp.where(j > 0, cdf[j - 1], 0.0)
+    u0r = jnp.clip((u0 * cdf[-1] - lo) / jnp.maximum(cdf[j] - lo, 1e-12),
+                   0.0, 1.0 - 1e-7)
+    u2r = jnp.stack([u0r, u1], axis=-1)
+    wo_hg, _, _ = sample_hg(pp.mix_g[j], wi, u2r)
+    wo_ray, _, _ = sample_rayleigh(wi, u2r)
+    wo = jnp.where((pp.mix_kind[j] == RAYLEIGH)[..., None], wo_ray, wo_hg)
+    pdf = pdf_mixture(pp, wi, wo)
+    return wo, jnp.ones_like(pdf), pdf
+
+
 def _np_erf(x):
     """Vectorized erf without scipy (Abramowitz-Stegun 7.1.26, |e|<1.5e-7)."""
     x = np.asarray(x, np.float64)
@@ -290,6 +373,8 @@ def eval_phase(kind: int, g, wi, wo, orientation=None, pp=None,
         return eval_kkay(pp, orientation, wi, wo)
     if kind == MICROFLAKE:
         return eval_microflake(pp, orientation, wi, wo)
+    if kind == MIXTURE:
+        return eval_mixture(pp, wi, wo)
     return eval_hg(g, wi, wo)
 
 
@@ -312,4 +397,6 @@ def sample_phase(kind: int, g, wi, u2, orientation=None, pp=None,
         return sample_kkay(pp, orientation, wi, u2)
     if kind == MICROFLAKE:
         return sample_microflake(pp, orientation, wi, u_sir)
+    if kind == MIXTURE:
+        return sample_mixture(pp, wi, u2)
     return sample_hg(g, wi, u2)

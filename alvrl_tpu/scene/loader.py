@@ -56,7 +56,9 @@ from alvrl_tpu.scene.scene import (
     PERSPECTIVE_RDIST,
     PHONG,
     PLASTIC,
+    ROUGH_COATING,
     ROUGH_CONDUCTOR,
+    ROUGH_DIELECTRIC,
     ROUGH_PLASTIC,
     SPHERICAL,
     TELECENTRIC,
@@ -76,7 +78,8 @@ _MAT_KINDS = {
     "plastic": PLASTIC, "phong": PHONG, "ward": WARD,
     "difftrans": DIFFTRANS, "mask": MASK, "mixturebsdf": MIXTURE,
     "blendbsdf": MIXTURE, "mixture": MIXTURE, "coating": COATING,
-    "roughcoating": COATING, "normalmap": NORMALMAP,
+    "roughdielectric": ROUGH_DIELECTRIC,
+    "roughcoating": ROUGH_COATING, "normalmap": NORMALMAP,
     "bumpmap": NORMALMAP, "hk": HK, "irawan": IRAWAN,
 }
 _CAM_KINDS = {
@@ -88,6 +91,7 @@ _CAM_KINDS = {
 _EM_KINDS = {
     "point": em_mod.POINT, "spot": em_mod.SPOT,
     "directional": em_mod.DIRECTIONAL, "constant": em_mod.CONSTANT,
+    "collimated": em_mod.COLLIMATED,
 }
 
 
@@ -132,6 +136,8 @@ def build_scene(desc: dict) -> Scene:
         name_to_id[mdesc.get("name", f"mat{i}")] = i
     kinds, albedos, etas, alphas = [], [], [], []
     speculars, exponents, alpha_vs, opacities = [], [], [], []
+    dists = []
+    _DIST_KINDS = {"beckmann": 0, "ggx": 1, "as": 2, "phong": 2}
     nesteds, nested2s = [], []
     tex_kinds, tex_scales, albedo2s, tex_ids = [], [], [], []
     bitmap_imgs = []
@@ -152,6 +158,7 @@ def build_scene(desc: dict) -> Scene:
         alpha_vs.append(mdesc.get("alpha_v", mdesc.get("alpha", 0.1)))
         # mask opacity / mixture first-lobe weight
         opacities.append(mdesc.get("opacity", mdesc.get("weight", 1.0)))
+        dists.append(_DIST_KINDS[mdesc.get("distribution", "ggx")])
         nesteds.append(name_to_id[mdesc["nested"]]
                        if "nested" in mdesc else 0)
         nested2s.append(name_to_id[mdesc["nested2"]]
@@ -187,7 +194,7 @@ def build_scene(desc: dict) -> Scene:
         tex_kinds=tex_kinds, tex_scales=tex_scales, albedo2=albedo2s,
         specular=speculars, exponent=exponents, alpha_v=alpha_vs,
         opacity=opacities, nested=nesteds, nested2=nested2s,
-        tex_id=tex_ids,
+        tex_id=tex_ids, dist=dists,
     )
     # woven-cloth weave pattern (one per scene; irawan.cpp's external
     # pattern file becomes a preset name or an inline dict)
@@ -420,7 +427,8 @@ def build_scene(desc: dict) -> Scene:
     _EK = dict(_EM_KINDS, _envmap=em_mod.ENVMAP, _area=em_mod.AREA)
     ekinds = [_EK[e["type"]] for e in edescs]
     epos = [e.get("position", [0, 0, 0]) for e in edescs]
-    eint = [e.get("intensity", e.get("irradiance", [1, 1, 1])) for e in edescs]
+    eint = [e.get("intensity", e.get("irradiance", e.get("power", [1, 1, 1])))
+            for e in edescs]
     edir = [e.get("direction", [0, 0, 1]) for e in edescs]
     ecut = [e.get("cutoff", 20.0) for e in edescs]
     ebeam = [e.get("beam", 15.0) for e in edescs]
@@ -432,9 +440,27 @@ def build_scene(desc: dict) -> Scene:
     # medium
     mdesc = desc.get("medium", {"type": "homogeneous",
                                 "sigma_s": [0.5] * 3, "sigma_a": [0.05] * 3})
-    phase_kind = {"hg": 0, "isotropic": 0, "rayleigh": 1}[
-        mdesc.get("phase", "hg")
-    ]
+    phase_desc = mdesc.get("phase", "hg")
+    phase_params = None
+    if isinstance(phase_desc, dict):
+        # {"type": "mixture", "components":
+        #   [{"type": "hg"|"rayleigh", "g": .., "weight": ..}, ...]}
+        # (src/phase/mixturephase.cpp)
+        from alvrl_tpu.media import phase as ph_mod
+
+        if phase_desc.get("type") != "mixture":
+            raise ValueError(f"unsupported phase dict {phase_desc}")
+        comps = phase_desc["components"]
+        phase_kind = ph_mod.MIXTURE
+        phase_params = ph_mod.mixture_params(
+            weights=[c.get("weight", 1.0 / len(comps)) for c in comps],
+            kinds=[{"hg": ph_mod.HG, "isotropic": ph_mod.HG,
+                    "rayleigh": ph_mod.RAYLEIGH}[c.get("type", "hg")]
+                   for c in comps],
+            gs=[c.get("g", 0.0) for c in comps],
+        )
+    else:
+        phase_kind = {"hg": 0, "isotropic": 0, "rayleigh": 1}[phase_desc]
     if mdesc["type"] == "homogeneous":
         strat = {"balance": 0, "single": 1, "manual": 2, "maximum": 3}[
             mdesc.get("strategy", "balance")
@@ -444,6 +470,7 @@ def build_scene(desc: dict) -> Scene:
             g=mdesc.get("g", 0.0), phase_kind=phase_kind,
             strategy=strat, channel=mdesc.get("channel", 0),
             density=mdesc.get("density", 1.0),
+            phase_params=phase_params,
         )
     elif mdesc["type"] == "grid":
         if "density_npy" in mdesc:
@@ -653,6 +680,15 @@ def convert_mitsuba_xml(path, defines=None) -> dict:
             mdesc["eta"] = props["intIOR"]
         if "alpha" in props:
             mdesc["alpha"] = props["alpha"]
+        if "alphaU" in props:
+            mdesc["alpha"] = props["alphaU"]
+        if "alphaV" in props:
+            mdesc["alpha_v"] = props["alphaV"]
+        if bt in ("roughconductor", "roughplastic", "roughdielectric",
+                  "roughcoating"):
+            # the reference's XML default distribution is Beckmann
+            # (microfacet.h:99-107)
+            mdesc["distribution"] = props.get("distribution", "beckmann")
         if "exponent" in props:
             mdesc["exponent"] = props["exponent"]
         if "specularReflectance" in props:
@@ -692,12 +728,13 @@ def convert_mitsuba_xml(path, defines=None) -> dict:
                 "position": props.get("position", [0, 0, 0]),
                 "intensity": props.get("intensity", [1, 1, 1]),
             })
-        elif et in ("spot", "directional"):
+        elif et in ("spot", "directional", "collimated"):
             desc["emitters"].append({
                 "type": et,
                 "position": props.get("position", [0, 0, 0]),
                 "intensity": props.get(
-                    "intensity", props.get("irradiance", [1, 1, 1])),
+                    "intensity", props.get(
+                        "irradiance", props.get("power", [1, 1, 1]))),
                 "direction": props.get("direction", [0, 0, 1]),
             })
         elif et == "constant":

@@ -45,6 +45,11 @@ HK = 14       # Hanrahan-Krueger single-scattering slab (hk.cpp):
               # thickness, alpha = HG phase mean cosine
 IRAWAN = 15   # Irawan-Marschner woven cloth (irawan.cpp); the weave
               # pattern lives in Scene.weave (bsdf/irawan.py)
+ROUGH_DIELECTRIC = 16  # microfacet refraction (roughdielectric.cpp):
+                       # glossy reflection + transmission lobes
+ROUGH_COATING = 17     # rough dielectric layer over `nested`
+                       # (roughcoating.cpp): glossy coat reflection +
+                       # rough-transmittance-attenuated nested BSDF
 
 
 @struct.dataclass
@@ -65,12 +70,22 @@ class Materials:
     nested2: jax.Array   # (M,) int32: mixture second nested id
     tex_id: jax.Array = None  # (M,) int32 index into scene.textures
                               # (used when tex_kind == TEX_BITMAP)
+    dist: jax.Array = None    # (M,) int32 microfacet distribution for
+                              # rough kinds (bsdf.microfacet.MF_*);
+                              # default GGX. The reference's XML default
+                              # is Beckmann (microfacet.h:99-107) — the
+                              # XML converter sets it explicitly.
+    rt_table: jax.Array = None  # (M, 16, 8) rough-transmittance tables
+                                # (ROUGH_COATING; zeros otherwise) —
+                                # counterpart of the reference's
+                                # data/microfacet tables + rdielprec
 
 
 def make_materials(kinds, albedos, etas=None, alphas=None,
                    tex_kinds=None, tex_scales=None, albedo2=None,
                    specular=None, exponent=None, alpha_v=None,
-                   opacity=None, nested=None, nested2=None, tex_id=None):
+                   opacity=None, nested=None, nested2=None, tex_id=None,
+                   dist=None):
     kinds = jnp.asarray(kinds, jnp.int32).reshape(-1)
     n = kinds.shape[0]
     alphas_a = jnp.asarray(
@@ -103,7 +118,28 @@ def make_materials(kinds, albedos, etas=None, alphas=None,
             nested2 if nested2 is not None else [0] * n, jnp.int32),
         tex_id=jnp.asarray(
             tex_id if tex_id is not None else [0] * n, jnp.int32),
+        dist=jnp.asarray(
+            dist if dist is not None else [1] * n, jnp.int32),  # MF_GGX
+        rt_table=_rt_tables(kinds, etas, alphas, dist, n),
     )
+
+
+def _rt_tables(kinds, etas, alphas, dist, n):
+    """Host-side rough-transmittance tables for ROUGH_COATING entries
+    (zeros elsewhere) — computed once at scene build."""
+    kinds_np = np.asarray(kinds).reshape(-1)
+    out = np.zeros((n, 16, 8), np.float32)
+    if (kinds_np == ROUGH_COATING).any():
+        from alvrl_tpu.bsdf import microfacet as _mf
+
+        etas_np = np.asarray(
+            etas if etas is not None else [1.0] * n, np.float32)
+        dist_np = np.asarray(
+            dist if dist is not None else [1] * n, np.int32)
+        for i in np.flatnonzero(kinds_np == ROUGH_COATING):
+            out[i] = np.asarray(_mf.rough_transmittance_table(
+                float(etas_np[i]), int(dist_np[i])))
+    return jnp.asarray(out)
 
 
 # sensor kinds (src/sensors/)
