@@ -345,11 +345,20 @@ def render_clustered_pallas(
     """Clustered render through the Pallas gather-DMA kernel: pixels are
     grouped by slice on the host, each 128-ray tile streams its slice's
     representative table into VMEM (ops.vrl_pallas.vrl_sum_pallas_clustered).
-    Falls back to render_clustered when a slice has > 128 representatives."""
+    Falls back to render_clustered when a slice has > 128 representatives.
+    Grid media dispatch to the heterogeneous kernel (CP density factors;
+    ops.vrl_pallas.vrl_sum_pallas_hetero_clustered)."""
     import numpy as np
 
+    from alvrl_tpu.media import api as mapi_
     from alvrl_tpu.ops import pack as pk
     from alvrl_tpu.ops import vrl_pallas as vp
+
+    if not mapi_.is_homogeneous(scene.medium):
+        return render_clustered_pallas_hetero(
+            scene, vrls, slice_of_pixel, table_vrls, table_weights, key,
+            cfg,
+        )
 
     cmax = int(table_vrls.shape[1])
     if cmax > vp.VRL_TILE:
@@ -433,6 +442,202 @@ def render_clustered_pallas(
     li = jnp.where(hit.valid[..., None], li, 0.0)
     img, wgt = film_mod.splat_box(w, h, px, py, li)
     return film_mod.develop(img, wgt)
+
+
+CP_RANK = 48          # CP density rank (ops.cp: 3.6e-4 rel RMS on the
+                      # config-4 plume; bias budget <5e-4 vs the XLA path)
+CP_ERR_FALLBACK = 7e-3  # fields that do not compress fall back to XLA
+
+
+@partial(jax.jit, static_argnames=())
+def _hetero_pack_rays(scene: Scene, ray_o, ray_d, hit):
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.ops import pack as pk
+
+    return pk.pack_rays_hetero(mapi_.prepare_scene(scene), ray_o, ray_d,
+                               hit)
+
+
+@partial(jax.jit, static_argnames=("pad_c",))
+def _hetero_tables(scene: Scene, vrls: VRLs, table_vrls, table_weights,
+                   pad_c: int):
+    """Per-slice representative tables for the hetero clustered kernel:
+    (S, H_VRL_ROWS, 128) with weights folded into power and the per-rep
+    cumulative-OD rows."""
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.media import heterogeneous as gmed_
+    from alvrl_tpu.ops import vrl_pallas as vp
+
+    scene = mapi_.prepare_scene(scene)
+    vrl_od_full = gmed_.cumulative_od(scene.medium, vrls.start, vrls.end)
+    tv = jnp.asarray(table_vrls)
+    tw = jnp.asarray(table_weights)
+    s_rows = tv.shape[0]
+    idx = tv
+    valid = vrls.valid[idx] & (tw > 0)
+    tables = jnp.zeros((s_rows, vp.H_VRL_ROWS, vp.VRL_TILE), jnp.float32)
+
+    def put(rowbase, arr):
+        nonlocal tables
+        a = jnp.pad(arr, ((0, 0), (0, pad_c), (0, 0)))
+        tables = tables.at[:, rowbase:rowbase + a.shape[-1], :].set(
+            jnp.moveaxis(a, -1, 1)
+        )
+
+    put(vp._VS, vrls.start[idx])
+    put(vp._VE, vrls.end[idx])
+    put(vp._VP, vrls.power[idx] * tw[..., None])
+    put(vp._VOD, vrl_od_full[idx])
+    tables = tables.at[:, vp._VVALID, :].set(
+        jnp.pad(valid.astype(jnp.float32), ((0, 0), (0, pad_c)))
+    )
+    return tables
+
+
+def render_clustered_pallas_hetero(
+    scene: Scene,
+    vrls: VRLs,
+    slice_of_pixel,
+    table_vrls,
+    table_weights,
+    key,
+    cfg: VRLConfig = VRLConfig(),
+    cp_rank: int = CP_RANK,
+):
+    """Grid-medium clustered render through the Pallas hetero kernel.
+    CP density factors are fitted once per density grid on the host
+    (cached); non-compressible fields fall back to the XLA path."""
+    import numpy as np
+
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops import vrl_pallas as vp
+
+    cmax = int(table_vrls.shape[1])
+    if cmax > vp.VRL_TILE:
+        return render_clustered(
+            scene, vrls, slice_of_pixel, table_vrls, table_weights, key, cfg
+        )
+    cp_pack, cp_err = pk.pack_cp(scene.medium, rank=cp_rank)
+    if cp_err > CP_ERR_FALLBACK:
+        from alvrl_tpu.core.logging import get_logger
+
+        get_logger("vrl").warning(
+            "CP fit error %.2e exceeds %.0e: falling back to the XLA "
+            "clustered render", cp_err, CP_ERR_FALLBACK)
+        return render_clustered(
+            scene, vrls, slice_of_pixel, table_vrls, table_weights, key, cfg
+        )
+
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    sop = np.asarray(slice_of_pixel)
+    n = sop.shape[0]
+
+    # host: group pixel indices by slice, pad each group to the ray tile
+    order = np.argsort(sop, kind="stable")
+    sop_sorted = sop[order]
+    groups = []
+    tile_slices = []
+    start = 0
+    for end in np.flatnonzero(np.diff(sop_sorted)).tolist() + [n - 1]:
+        end = end + 1
+        idx = order[start:end]
+        s_id = int(sop_sorted[start])
+        pad = (-len(idx)) % vp.RAY_TILE
+        idx_p = np.concatenate([idx, np.full(pad, -1, np.int64)])
+        groups.append(idx_p)
+        tile_slices += [s_id] * (len(idx_p) // vp.RAY_TILE)
+        start = end
+    perm = np.concatenate(groups)
+    tile_slice = jnp.asarray(np.asarray(tile_slices, np.int32))
+
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    hit = intersect.intersect_all(ray_o, ray_d, scene.vertices, scene.faces)
+    ray_pack = _hetero_pack_rays(scene, ray_o, ray_d, hit)[:n]
+    perm_j = jnp.asarray(np.where(perm < 0, 0, perm))
+    dummy = jnp.asarray(perm < 0)
+    ray_pack_p = jnp.where(dummy[:, None], 0.0, ray_pack[perm_j])
+
+    tables = _hetero_tables(scene, vrls, table_vrls, table_weights,
+                            vp.VRL_TILE - cmax)
+
+    tri_flat = pk.pack_tris(scene)
+    med_pack = pk.pack_medium_hetero(scene.medium)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+    out = vp.vrl_sum_pallas_hetero_clustered(
+        ray_pack_p, tables, tile_slice, tri_flat, med_pack, cp_pack, seed,
+        n_cp=cp_rank,
+        vol_vol_samples=cfg.vol_vol_samples,
+        vol_surf_samples=cfg.vol_surf_samples,
+        short_vrls=cfg.short_vrls,
+        phase_kind=scene.medium.phase_kind,
+        uv_steps=cfg.uv_tau_steps,
+    )
+    li_perm = out.T
+    li = jnp.zeros((n, 3), jnp.float32)
+    li = li.at[perm_j].add(jnp.where(dummy[:, None], 0.0, li_perm))
+    li = li / jnp.maximum(vrls.particle_count, 1.0)
+    li = jnp.where(hit.valid[..., None], li, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)
+
+
+def render_with_vrls_pallas_hetero(scene: Scene, vrls: VRLs, key,
+                                   cfg: VRLConfig = VRLConfig(),
+                                   cp_rank: int = CP_RANK):
+    """Full-frame UNCLUSTERED grid-medium render through the hetero
+    Pallas kernel — the brute-force (rays x vrls) product for grid
+    media (the regime where the XLA path pays per-pair quadrature
+    gathers)."""
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops import vrl_pallas as vp
+
+    cp_pack, cp_err = pk.pack_cp(scene.medium, rank=cp_rank)
+    if cp_err > CP_ERR_FALLBACK:
+        return render_with_vrls(scene, vrls, key, cfg)
+
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    hit = intersect.intersect_all(ray_o, ray_d, scene.vertices, scene.faces)
+
+    ray_pack = _hetero_pack_rays(scene, ray_o, ray_d, hit)
+    vrl_pack = _hetero_pack_vrls(scene, vrls)
+    tri_flat = pk.pack_tris(scene)
+    med_pack = pk.pack_medium_hetero(scene.medium)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+    out = vp.vrl_sum_pallas_hetero(
+        ray_pack, vrl_pack, tri_flat, med_pack, cp_pack, seed,
+        n_cp=cp_rank,
+        vol_vol_samples=cfg.vol_vol_samples,
+        vol_surf_samples=cfg.vol_surf_samples,
+        short_vrls=cfg.short_vrls,
+        phase_kind=scene.medium.phase_kind,
+        uv_steps=cfg.uv_tau_steps,
+    )
+    n = px.shape[0]
+    li = out.T[:n] / jnp.maximum(vrls.particle_count, 1.0)
+    li = jnp.where(hit.valid[..., None], li, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)
+
+
+@partial(jax.jit, static_argnames=())
+def _hetero_pack_vrls(scene: Scene, vrls: VRLs):
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.ops import pack as pk
+
+    return pk.pack_vrls_hetero(vrls, mapi_.prepare_scene(scene).medium)
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,17 @@ RAY_ROWS = 24
 _VS, _VE, _VP, _VVALID = 0, 3, 6, 9
 VRL_ROWS = 16
 
+# heterogeneous (grid-medium) variants: the packs grow cumulative
+# optical-depth tables (media.heterogeneous.cumulative_od, N_TAU_STEPS
+# sub-intervals -> NQ+1 entries) for the eye and VRL segments; the
+# U<->V segment integrates in-kernel against CP density factors
+# (ops.cp — see that module for why gathers force a separable form).
+NQ = 16                      # table sub-intervals (gmed.N_TAU_STEPS)
+_EOD = RAY_ROWS              # eye cum-OD rows [24, 24+NQ]
+H_RAY_ROWS = 48              # 24 + 17 rounded up to a sublane multiple
+_VOD = VRL_ROWS              # vrl cum-OD rows [16, 16+NQ]
+H_VRL_ROWS = 40              # 16 + 17 rounded up
+
 _INV_FOURPI = 1.0 / (4.0 * np.pi)
 _H_EPS = 1e-6
 
@@ -111,6 +122,15 @@ def _atan_pos(x):
     return jnp.where(big, jnp.float32(0.5 * np.pi) - r, r)
 
 
+def _lane_gather_row(row_vec, idx):
+    """Arbitrary per-lane gather from a <=128-entry 1D table: the table
+    row is sublane-replicated and fetched with tpu.dynamic_gather along
+    lanes (the ONE O(1) gather form Mosaic supports; axis-0 gathers
+    across >8 sublanes fail with 'multiple source vregs')."""
+    x = jnp.broadcast_to(row_vec[None, :], idx.shape)
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
 def _kernel(
     tri_ref,      # scalar prefetch: (T*9,) f32 opaque triangles
     seed_ref,     # scalar prefetch: (1,) i32
@@ -118,6 +138,7 @@ def _kernel(
     vrl_ref,      # (VRL_ROWS, VRL_TILE) f32 (dense) or (1, VRL_ROWS,
                   # VRL_TILE) slice-table block (clustered)
     med_ref,      # (1, 16) f32: sigma_t(3), sigma_s(3), g, msw, n_samples...
+                  # hetero: (1, 32), see pack.pack_medium_hetero
     out_ref,      # (3, RAY_TILE) f32 accumulated over the vrl grid dim
     *,
     n_tris: int,
@@ -129,6 +150,13 @@ def _kernel(
     occl_fn=None,  # override: fn(pre, shape) -> list of blocked masks
                    # (the two-level BVH variant streams triangle
                    # clusters from HBM instead of the SMEM sweep)
+    hetero: bool = False,
+    cp_ref=None,   # (3*n_cp, 128) CP density factors (z, y, x blocks)
+    n_cp: int = 0,
+    uv_steps: int = 4,
+    debug_out: str = None,  # hetero debug: write a chosen vol-vol
+                            # intermediate (summed over the vrl axis)
+                            # into channel 0 instead of radiance
 ):
     i = pl.program_id(0)
     if clustered:
@@ -175,6 +203,90 @@ def _kernel(
 
     shape = (RAY_TILE, VRL_TILE)
     pair_mask = (rvalid > 0.5) & (vvalid > 0.5)
+
+    if hetero:
+        # grid-medium parameter block (pack.pack_medium_hetero):
+        # sig_t rows double as sigma_t_color, sig_s as sigma_s_color;
+        # 7 = chan (mean sigma_t channel), 8:11 box_min (x,y,z),
+        # 11:14 1/extent, 14:17 half-cell index scales 2*(d-1) (x,y,z)
+        chan = med_ref[0, 7]
+        box0 = (med_ref[0, 8], med_ref[0, 9], med_ref[0, 10])
+        inv_e = (med_ref[0, 11], med_ref[0, 12], med_ref[0, 13])
+        isc = (med_ref[0, 14], med_ref[0, 15], med_ref[0, 16])
+
+        def density_at(px_, py_, pz_):
+            """CP density at world points (supersampled-NN indexing of
+            media.heterogeneous.lookup_density_nn: half-cell rounding,
+            zero outside the box). n_cp lane-gathers per axis."""
+            qx = (px_ - box0[0]) * inv_e[0]
+            qy = (py_ - box0[1]) * inv_e[1]
+            qz = (pz_ - box0[2]) * inv_e[2]
+            inside = (
+                (qx >= 0.0) & (qx <= 1.0) & (qy >= 0.0) & (qy <= 1.0)
+                & (qz >= 0.0) & (qz <= 1.0)
+            )
+            ix = jnp.clip(jnp.floor(qx * isc[0] + 0.5), 0.0, isc[0]
+                          ).astype(jnp.int32)
+            iy = jnp.clip(jnp.floor(qy * isc[1] + 0.5), 0.0, isc[1]
+                          ).astype(jnp.int32)
+            iz = jnp.clip(jnp.floor(qz * isc[2] + 0.5), 0.0, isc[2]
+                          ).astype(jnp.int32)
+            acc_d = jnp.zeros(ix.shape, jnp.float32)
+            for k in range(n_cp):
+                az = _lane_gather_row(cp_ref[k, :], iz)
+                ay = _lane_gather_row(cp_ref[n_cp + k, :], iy)
+                ax = _lane_gather_row(cp_ref[2 * n_cp + k, :], ix)
+                acc_d = acc_d + az * ay * ax
+            return jnp.where(inside, jnp.maximum(acc_d, 0.0), 0.0)
+
+        # cumulative-OD table interpolation (gmed.interp_od semantics)
+        eod = ray_ref[:, _EOD:_EOD + NQ + 1]           # (R, NQ+1)
+        eod_pad = jnp.concatenate(
+            [eod, jnp.zeros((RAY_TILE, VRL_TILE - (NQ + 1)), jnp.float32)],
+            axis=1,
+        )
+
+        def interp_eye(frac):
+            t = jnp.clip(frac, 0.0, 1.0) * NQ
+            k0f = jnp.clip(jnp.floor(t), 0.0, NQ - 1.0)
+            w = t - k0f
+            k0 = k0f.astype(jnp.int32)
+            c0 = jnp.take_along_axis(eod_pad, k0, axis=1)
+            c1 = jnp.take_along_axis(eod_pad, k0 + 1, axis=1)
+            return c0 * (1.0 - w) + c1 * w
+
+        if clustered:
+            vod = vrl_ref[0, _VOD:_VOD + NQ + 1, :]    # (NQ+1, V)
+        else:
+            vod = vrl_ref[_VOD:_VOD + NQ + 1, :]
+        vod_t = jnp.concatenate(
+            [vod.T, jnp.zeros((VRL_TILE, RAY_TILE - (NQ + 1)), jnp.float32)],
+            axis=1,
+        )  # (V, 128): per-vrl table along lanes
+
+        def interp_vrl(frac):
+            # per-(ray, vrl) entry from a per-VRL table: axis-0 gathers
+            # across sublanes are unsupported, so gather transposed
+            t = jnp.clip(frac, 0.0, 1.0) * NQ
+            k0f = jnp.clip(jnp.floor(t), 0.0, NQ - 1.0)
+            w = t - k0f
+            k0t = k0f.astype(jnp.int32).T                 # (V, R)
+            c0 = jnp.take_along_axis(vod_t, k0t, axis=1).T
+            c1 = jnp.take_along_axis(vod_t, k0t + 1, axis=1).T
+            return c0 * (1.0 - w) + c1 * w
+
+        def od_between(p_a, p_b, d_ab):
+            """Midpoint quadrature of CP density along [p_a, p_b]
+            (the per-sample U<->V segment; integrate.py uv_tau_steps)."""
+            total = jnp.zeros(d_ab.shape, jnp.float32)
+            for s_i in range(uv_steps):
+                tq = (s_i + 0.5) / uv_steps
+                total = total + density_at(
+                    p_a[0] + tq * (p_b[0] - p_a[0]),
+                    p_a[1] + tq * (p_b[1] - p_a[1]),
+                    p_a[2] + tq * (p_b[2] - p_a[2]),
+                )
+            return total * (d_ab / uv_steps)
 
     # vrl direction + length
     vdx, vdy, vdz = ex - sx, ey - sy, ez - sz
@@ -435,26 +547,58 @@ def _kernel(
         d_eu = jnp.abs(arc_u)
         d_sv = jnp.abs(arc_v)
         ok = pair_mask & ~blocked & (d_uv2 > 0.0) & (pdf > 0.0)
-        ph_u = _phase(phase_kind, g, -_dot3(vux, vuy, vuz, dx, dy, dz))
+        # rho_U(-VU, -EU): cos(wi, wo) = dot(-vu, -d) = +vu.d — matches
+        # the oracle-validated XLA integrand (integrate.py:300; a
+        # round-3 SIGN FIX: the old -vu.d was invisible at g=0 but
+        # wrong for anisotropic phases)
+        ph_u = _phase(phase_kind, g, _dot3(vux, vuy, vuz, dx, dy, dz))
         ph_v = _phase(phase_kind, g, -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz))
         geo = jnp.where(
             ok, ph_u * ph_v / jnp.maximum(pdf * d_uv2, 1e-30), 0.0
         )
-        # pdfFailure of the vrl segment (balance strategy, 3 channels)
-        if short_vrls:
-            pf = (
-                jnp.exp(-sig_t[0] * d_sv)
-                + jnp.exp(-sig_t[1] * d_sv)
-                + jnp.exp(-sig_t[2] * d_sv)
-            ) * (1.0 / 3.0)
-            pf = msw * pf + (1.0 - msw)
-            geo = geo / jnp.maximum(pf, 1e-30)
-        for ch in range(3):
-            tau = jnp.exp(-sig_t[ch] * (d_eu + d_uv + d_sv))
-            acc[ch] += (
-                pw[ch] * sig_s[ch] * sig_s[ch] * tau * geo
-                * (1.0 / vol_vol_samples)
-            )
+        if hetero:
+            od_eu = interp_eye(d_eu / jnp.maximum(elen, 1e-20))
+            od_sv = interp_vrl(jnp.clip(arc_v * ivl, 0.0, 1.0))
+            od_uv = od_between(
+                (ux_p, uy_p, uz_p), (vx_, vy_, vz_), d_uv)
+            dens_u = density_at(ux_p, uy_p, uz_p)
+            dens_v = density_at(vx_, vy_, vz_)
+            if debug_out is not None:
+                dbg = dict(
+                    od_eu=od_eu, od_sv=od_sv, od_uv=od_uv,
+                    dens_u=dens_u, dens_v=dens_v,
+                    frac_u=d_eu / jnp.maximum(elen, 1e-20),
+                    arc_u=arc_u, arc_v=arc_v, geo=geo,
+                )[debug_out]
+                acc[0] += jnp.where(pair_mask, dbg, 0.0)
+                continue
+            if short_vrls:
+                # grid media: pdfFailure = exp(-chan * od(S->V)), no
+                # sampling-weight mixture (heterogeneous.cpp eval)
+                geo = geo / jnp.maximum(jnp.exp(-chan * od_sv), 1e-30)
+            od_all = od_eu + od_uv + od_sv
+            for ch in range(3):
+                tau = jnp.exp(-sig_t[ch] * od_all)
+                acc[ch] += (
+                    pw[ch] * (sig_s[ch] * dens_v) * (sig_s[ch] * dens_u)
+                    * tau * geo * (1.0 / vol_vol_samples)
+                )
+        else:
+            # pdfFailure of the vrl segment (balance strategy, 3 channels)
+            if short_vrls:
+                pf = (
+                    jnp.exp(-sig_t[0] * d_sv)
+                    + jnp.exp(-sig_t[1] * d_sv)
+                    + jnp.exp(-sig_t[2] * d_sv)
+                ) * (1.0 / 3.0)
+                pf = msw * pf + (1.0 - msw)
+                geo = geo / jnp.maximum(pf, 1e-30)
+            for ch in range(3):
+                tau = jnp.exp(-sig_t[ch] * (d_eu + d_uv + d_sv))
+                acc[ch] += (
+                    pw[ch] * sig_s[ch] * sig_s[ch] * tau * geo
+                    * (1.0 / vol_vol_samples)
+                )
 
     # ---------------- vol-surf integrand -----------------------------
     for k, smp in enumerate(vs_samples):
@@ -479,20 +623,35 @@ def _kernel(
             ph_v * cos_o * (1.0 / np.pi) / jnp.maximum(pdf_v * d_uv2, 1e-30),
             0.0,
         )
-        if short_vrls:
-            pf = (
-                jnp.exp(-sig_t[0] * d_sv)
-                + jnp.exp(-sig_t[1] * d_sv)
-                + jnp.exp(-sig_t[2] * d_sv)
-            ) * (1.0 / 3.0)
-            pf = msw * pf + (1.0 - msw)
-            geo = geo / jnp.maximum(pf, 1e-30)
-        for ch in range(3):
-            tau = jnp.exp(-sig_t[ch] * (d_uv + d_sv))
-            acc[ch] += (
-                pw[ch] * sig_s[ch] * alb[ch] * tau_eu_s[ch] * tau * geo
-                * (1.0 / vol_surf_samples)
-            )
+        if hetero:
+            od_sv = interp_vrl(jnp.clip(arc_v * ivl, 0.0, 1.0))
+            od_uv = od_between((hx, hy, hz), (vx_, vy_, vz_), d_uv)
+            dens_v = density_at(vx_, vy_, vz_)
+            if short_vrls:
+                geo = geo / jnp.maximum(jnp.exp(-chan * od_sv), 1e-30)
+            od_all = od_uv + od_sv
+            for ch in range(3):
+                tau = jnp.exp(-sig_t[ch] * od_all)
+                acc[ch] += (
+                    pw[ch] * (sig_s[ch] * dens_v) * alb[ch]
+                    * tau_eu_s[ch] * tau * geo
+                    * (1.0 / vol_surf_samples)
+                )
+        else:
+            if short_vrls:
+                pf = (
+                    jnp.exp(-sig_t[0] * d_sv)
+                    + jnp.exp(-sig_t[1] * d_sv)
+                    + jnp.exp(-sig_t[2] * d_sv)
+                ) * (1.0 / 3.0)
+                pf = msw * pf + (1.0 - msw)
+                geo = geo / jnp.maximum(pf, 1e-30)
+            for ch in range(3):
+                tau = jnp.exp(-sig_t[ch] * (d_uv + d_sv))
+                acc[ch] += (
+                    pw[ch] * sig_s[ch] * alb[ch] * tau_eu_s[ch] * tau * geo
+                    * (1.0 / vol_surf_samples)
+                )
 
     for ch in range(3):
         out_ref[ch, :] += jnp.sum(acc[ch], axis=1)
@@ -622,6 +781,162 @@ def vrl_sum_pallas_clustered(
         ),
         out_shape=jax.ShapeDtypeStruct((3, b), jnp.float32),
     )(tri_flat, seed, tile_slice, ray_pack, vrl_tables, med_pack)
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous (grid-medium) variants: same estimator as the XLA
+# table path (integrate.pair_contribution with eye_od/vrl_od tables),
+# with the U<->V quadrature + sigma_s lookups evaluated in-kernel
+# against CP density factors (ops.cp). Counterpart of the reference's
+# heterogeneous medium evaluation inside integrateVRL
+# (src/medium/heterogeneous.cpp:546-663 called from
+# vrlIntegrator.cpp:603-785).
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_cp", "vol_vol_samples", "vol_surf_samples",
+                     "short_vrls", "phase_kind", "uv_steps", "debug_out"),
+)
+def vrl_sum_pallas_hetero(
+    ray_pack,     # (B, H_RAY_ROWS) f32 (incl. eye cum-OD rows)
+    vrl_pack,     # (H_VRL_ROWS, N) f32 (incl. vrl cum-OD rows)
+    tri_flat,     # (T*9,) f32
+    med_pack,     # (1, 32) f32 (pack_medium_hetero)
+    cp_pack,      # (3*n_cp, 128) f32 CP density factors
+    seed,         # (1,) i32
+    n_cp: int,
+    vol_vol_samples: int = 2,
+    vol_surf_samples: int = 2,
+    short_vrls: bool = True,
+    phase_kind: int = 0,
+    uv_steps: int = 4,
+    debug_out: str = None,
+):
+    """Grid-medium unclustered VRL sums: (3, B), not particle-normalized."""
+    b = ray_pack.shape[0]
+    n = vrl_pack.shape[1]
+    n_tris = tri_flat.shape[0] // 9
+    grid = (b // RAY_TILE, n // VRL_TILE)
+
+    def kernel(tri_ref, seed_ref, ray_ref, vrl_ref, med_ref, cp_ref,
+               out_ref):
+        _kernel(
+            tri_ref, seed_ref, ray_ref, vrl_ref, med_ref, out_ref,
+            n_tris=n_tris,
+            vol_vol_samples=vol_vol_samples,
+            vol_surf_samples=vol_surf_samples,
+            short_vrls=short_vrls,
+            phase_kind=phase_kind,
+            hetero=True, cp_ref=cp_ref, n_cp=n_cp, uv_steps=uv_steps,
+            debug_out=debug_out,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (RAY_TILE, H_RAY_ROWS), lambda i, j, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (H_VRL_ROWS, VRL_TILE), lambda i, j, *_: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 32), lambda i, j, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (cp_pack.shape[0], 128), lambda i, j, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, RAY_TILE), lambda i, j, *_: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, b), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(tri_flat, seed, ray_pack, vrl_pack, med_pack, cp_pack)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_cp", "vol_vol_samples", "vol_surf_samples",
+                     "short_vrls", "phase_kind", "uv_steps"),
+)
+def vrl_sum_pallas_hetero_clustered(
+    ray_pack,     # (B, H_RAY_ROWS) f32, rays grouped by slice
+    vrl_tables,   # (S, H_VRL_ROWS, VRL_TILE) f32 per-slice tables
+    tile_slice,   # (B // RAY_TILE,) i32
+    tri_flat,     # (T*9,) f32
+    med_pack,     # (1, 32) f32
+    cp_pack,      # (3*n_cp, 128) f32
+    seed,         # (1,) i32
+    n_cp: int,
+    vol_vol_samples: int = 2,
+    vol_surf_samples: int = 2,
+    short_vrls: bool = True,
+    phase_kind: int = 0,
+    uv_steps: int = 4,
+):
+    """Clustered grid-medium render: per-tile slice tables DMA'd by the
+    prefetched tile->slice map (the hetero twin of
+    vrl_sum_pallas_clustered). Returns (3, B) sums."""
+    b = ray_pack.shape[0]
+    n_tris = tri_flat.shape[0] // 9
+    grid = (b // RAY_TILE,)
+
+    def kernel(tri_ref, seed_ref, tslice_ref, ray_ref, vrl_ref, med_ref,
+               cp_ref, out_ref):
+        _kernel(
+            tri_ref, seed_ref, ray_ref, vrl_ref, med_ref, out_ref,
+            n_tris=n_tris,
+            vol_vol_samples=vol_vol_samples,
+            vol_surf_samples=vol_surf_samples,
+            short_vrls=short_vrls,
+            phase_kind=phase_kind,
+            clustered=True,
+            hetero=True, cp_ref=cp_ref, n_cp=n_cp, uv_steps=uv_steps,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (RAY_TILE, H_RAY_ROWS), lambda i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, H_VRL_ROWS, VRL_TILE),
+                    lambda i, tri, seed, tslice: (tslice[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 32), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (cp_pack.shape[0], 128), lambda i, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, RAY_TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, b), jnp.float32),
+    )(tri_flat, seed, tile_slice, ray_pack, vrl_tables, med_pack, cp_pack)
 
 
 # ---------------------------------------------------------------------------
