@@ -209,7 +209,7 @@ def render_alvrl(
     # there are none (enclosed scenes).
     fb_mask = np.asarray(info.pixel_to_slice) < 0
     if fb_mask.any() and len(info.fallback_vrls):
-        from alvrl_tpu.integrators.vrl.integrator import _clustered_li
+        from alvrl_tpu.integrators.vrl.integrator import _clustered_li_jit
 
         w = scene.camera.width
         pix = np.flatnonzero(fb_mask)
@@ -217,7 +217,9 @@ def render_alvrl(
         py = jnp.asarray(pix // w, jnp.int32)
         fb_tv = jnp.asarray(info.fallback_vrls[None, :].astype(np.int32))
         fb_tw = jnp.asarray(info.fallback_weights[None, :].astype(np.float32))
-        li_fb = _clustered_li(
+        # jitted: the eager per-op dispatch of this small launch cost
+        # more than the whole main render over the remote TPU tunnel
+        li_fb = _clustered_li_jit(
             scene, vrls, jnp.zeros((len(pix),), jnp.int32), fb_tv, fb_tw,
             rng.fold(k_render, 977), px, py, cfg,
             ray_tile=min(ray_tile, max(256, len(pix))),

@@ -673,8 +673,25 @@ def build_R(scene: Scene, ray_o, ray_d, vrls: VRLs, key, cfg: VRLConfig):
     expand = lambda a: a[:, None] if a.ndim == 1 else a[:, None, :]
     norm = 1.0 / jnp.maximum(vrls.particle_count, 1.0)
 
+    # grid media: the same cumulative-OD tables the render path uses
+    # (without them every R entry paid a fresh 16-step quadrature —
+    # the R build dominated the config-4 warm pass)
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.media import heterogeneous as gmed_
+
+    use_tables = not mapi_.is_homogeneous(scene.medium)
+    if use_tables:
+        nq = gmed_.N_TAU_STEPS
+        eye_od = gmed_.cumulative_od(scene.medium, ray_o, hit.p)
+        v_od = padded(
+            gmed_.cumulative_od(scene.medium, vrls.start, vrls.end)
+        ).reshape(n_chunks, c, nq + 1)
+    else:
+        eye_od = None
+        v_od = jnp.zeros((n_chunks, 1, 1))
+
     def body(_, inp):
-        ci, vs, ve, vp, vv = inp
+        ci, vs, ve, vp, vv, vod = inp
         u_vv, u_vs = _chunk_uniforms(
             key, ci, (b, c, cfg.vol_vol_samples, 2), (b, c, cfg.vol_surf_samples)
         )
@@ -684,13 +701,16 @@ def build_R(scene: Scene, ray_o, ray_d, vrls: VRLs, key, cfg: VRLConfig):
             expand(hit.p), expand(hit.valid), expand(hit.ng), expand(hit.mat),
             vs[None], ve[None], vp[None], vv[None],
             u_vv, u_vs, cfg,
+            eye_od=None if not use_tables else eye_od[:, None, :],
+            vrl_od=None if not use_tables else vod[None],
         )
         # normalization as accumulated into vrlContributions
         # (getVRLContributions, :810-813): mean * norm, var * norm^2
         return None, (lum_mean * norm, lum_var * norm * norm)
 
     _, (means, variances) = jax.lax.scan(
-        body, None, (jnp.arange(n_chunks), v_start, v_end, v_power, v_valid)
+        body, None,
+        (jnp.arange(n_chunks), v_start, v_end, v_power, v_valid, v_od),
     )
     # (n_chunks, B, c) -> (B, N)
     means = jnp.moveaxis(means, 0, 1).reshape(b, n_chunks * c)[:, :n]
@@ -748,6 +768,9 @@ def render_clustered(
     ]
     img = jnp.concatenate(rows, axis=0)
     return img
+
+
+_clustered_li_jit = None  # set below (jit over the function that follows)
 
 
 def _clustered_li(
@@ -819,6 +842,11 @@ def _clustered_li(
         ),
     )
     return li.reshape(-1, 3)[:n]
+
+
+_clustered_li_jit = partial(
+    jax.jit, static_argnames=("cfg", "ray_tile")
+)(_clustered_li)
 
 
 @partial(jax.jit, static_argnames=("cfg", "tracer_cfg", "num_particles", "ray_tile"))

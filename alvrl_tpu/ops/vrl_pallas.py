@@ -217,7 +217,9 @@ def _kernel(
         def density_at(px_, py_, pz_):
             """CP density at world points (supersampled-NN indexing of
             media.heterogeneous.lookup_density_nn: half-cell rounding,
-            zero outside the box). n_cp lane-gathers per axis."""
+            zero outside the box). n_cp lane-gathers per axis, run as a
+            fori_loop over rank (a full python unroll keeps ~100 MB of
+            (128,128) temporaries live and blows scoped VMEM)."""
             qx = (px_ - box0[0]) * inv_e[0]
             qy = (py_ - box0[1]) * inv_e[1]
             qz = (pz_ - box0[2]) * inv_e[2]
@@ -231,12 +233,24 @@ def _kernel(
                           ).astype(jnp.int32)
             iz = jnp.clip(jnp.floor(qz * isc[2] + 0.5), 0.0, isc[2]
                           ).astype(jnp.int32)
-            acc_d = jnp.zeros(ix.shape, jnp.float32)
-            for k in range(n_cp):
+
+            def one(k, acc_d):
                 az = _lane_gather_row(cp_ref[k, :], iz)
                 ay = _lane_gather_row(cp_ref[n_cp + k, :], iy)
                 ax = _lane_gather_row(cp_ref[2 * n_cp + k, :], ix)
-                acc_d = acc_d + az * ay * ax
+                return acc_d + az * ay * ax
+
+            unroll = 4
+            assert n_cp % unroll == 0, n_cp
+
+            def body(q, acc_d):
+                k0 = q * unroll
+                for dk in range(unroll):
+                    acc_d = one(k0 + dk, acc_d)
+                return acc_d
+
+            acc_d = jax.lax.fori_loop(
+                0, n_cp // unroll, body, jnp.zeros(ix.shape, jnp.float32))
             return jnp.where(inside, jnp.maximum(acc_d, 0.0), 0.0)
 
         # cumulative-OD table interpolation (gmed.interp_od semantics)

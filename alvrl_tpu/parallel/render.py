@@ -150,3 +150,134 @@ def train_step(
     }
     loss, grads = jax.value_and_grad(loss_fn)(params)
     return loss, grads
+
+
+# ---------------------------------------------------------------------------
+# Sharded clustering-path pieces (SURVEY §7 step 8: the transfer matrix
+# R is the natural (pixels x VRLs) sharding showcase; the clustered
+# render shards rays with the representative tables replicated).
+# ---------------------------------------------------------------------------
+
+
+def build_r_sharded(mesh: Mesh, scene: Scene, ray_o, ray_d, vrls: VRLs,
+                    key, cfg: VRLConfig):
+    """Transfer matrix R over representative rays, 2D-sharded:
+    rays over the 'rays' axis x VRLs over the 'vrls' axis — every
+    device computes its (ray-shard x vrl-shard) block independently
+    with NO collective (the reference fans this out over Rbuilder
+    threads, vrlIntegrator.cpp:1038-1083). Returns (mean (P, N),
+    var (P, N)) sharded P('rays', 'vrls')."""
+    from alvrl_tpu.integrators.vrl.integrate import pair_contribution
+    from alvrl_tpu.media import api as mapi
+
+    def local(scene, v_start, v_end, v_power, v_valid, pcount, o, d, key):
+        scene = mapi.prepare_scene(scene)
+        hit = trace_eye_rays(scene, o, d)
+        k = rng.fold(key, jax.lax.axis_index("rays"),
+                     jax.lax.axis_index("vrls"))
+        b = o.shape[0]
+        c = v_start.shape[0]
+        expand = lambda a: a[:, None] if a.ndim == 1 else a[:, None, :]
+        u_vv = rng.uniform(rng.fold(k, rng.P_VOLVOL),
+                           (b, c, cfg.vol_vol_samples, 2))
+        u_vs = rng.uniform(rng.fold(k, rng.P_VOLSURF),
+                           (b, c, cfg.vol_surf_samples))
+        kw = {}
+        if not mapi.is_homogeneous(scene.medium):
+            from alvrl_tpu.media import heterogeneous as gmed
+
+            kw = dict(
+                eye_od=gmed.cumulative_od(scene.medium, o, hit.p)[:, None],
+                vrl_od=gmed.cumulative_od(scene.medium, v_start,
+                                          v_end)[None],
+            )
+        _, lum_mean, lum_var = pair_contribution(
+            scene, expand(o), expand(d), expand(hit.p), expand(hit.valid),
+            expand(hit.ng), expand(hit.mat),
+            v_start[None], v_end[None], v_power[None], v_valid[None],
+            u_vv, u_vs, cfg, **kw)
+        norm = 1.0 / jnp.maximum(pcount, 1.0)
+        return lum_mean * norm, lum_var * norm * norm
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P("vrls"), P("vrls"), P("vrls"), P("vrls"), P(),
+            P("rays"), P("rays"), P(),
+        ),
+        out_specs=(P("rays", "vrls"), P("rays", "vrls")),
+        check_vma=False,
+    )(scene, vrls.start, vrls.end, vrls.power, vrls.valid,
+      vrls.particle_count, ray_o, ray_d, key)
+
+
+def render_clustered_sharded(mesh: Mesh, scene: Scene, vrls: VRLs,
+                             slice_of_pixel, table_vrls, table_weights,
+                             key, cfg: VRLConfig):
+    """Clustered render with eye rays sharded over 'rays'; the VRL
+    buffer and the per-slice representative tables are replicated
+    (they are the small clustered resources the reference registers
+    once per worker, vrlIntegrator.cpp:353-384). Returns (H, W, 3)."""
+    from alvrl_tpu.integrators.vrl.integrate import pair_contribution
+    from alvrl_tpu.media import api as mapi
+
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px, py = px.reshape(-1), py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    n_axis = mesh.shape["rays"] * mesh.shape["vrls"]
+    ray_o, ray_d, n = pad_rays(ray_o, ray_d, n_axis)
+    sop = jnp.pad(jnp.asarray(slice_of_pixel),
+                  (0, ray_o.shape[0] - n))
+
+    def local(scene, tv, tw, v_start, v_end, v_power, v_valid, pcount,
+              o, d, sl, key):
+        scene = mapi.prepare_scene(scene)
+        hit = trace_eye_rays(scene, o, d)
+        k = rng.fold(key, jax.lax.axis_index("rays"), rng.P_CLUSTER)
+        b = o.shape[0]
+        cmax = tv.shape[1]
+        ids = tv[sl]
+        wgt = tw[sl]
+        expand = lambda a: a[:, None] if a.ndim == 1 else a[:, None, :]
+        u_vv = rng.uniform(rng.fold(k, rng.P_VOLVOL),
+                           (b, cmax, cfg.vol_vol_samples, 2))
+        u_vs = rng.uniform(rng.fold(k, rng.P_VOLSURF),
+                           (b, cmax, cfg.vol_surf_samples))
+        kw = {}
+        if not mapi.is_homogeneous(scene.medium):
+            from alvrl_tpu.media import heterogeneous as gmed
+
+            kw = dict(
+                eye_od=gmed.cumulative_od(scene.medium, o, hit.p)[:, None],
+                vrl_od=gmed.cumulative_od(
+                    scene.medium, v_start, v_end)[ids],
+            )
+        total, _, _ = pair_contribution(
+            scene, expand(o), expand(d), expand(hit.p), expand(hit.valid),
+            expand(hit.ng), expand(hit.mat),
+            v_start[ids], v_end[ids], v_power[ids],
+            v_valid[ids] & (wgt > 0),
+            u_vv, u_vs, cfg, **kw)
+        li = jnp.sum(total * wgt[..., None], axis=1) / jnp.maximum(
+            pcount, 1.0)
+        return jnp.where(hit.valid[..., None], li, 0.0)
+
+    li = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),
+            P(), P(), P(), P(), P(),
+            P(("rays", "vrls")), P(("rays", "vrls")),
+            P(("rays", "vrls")), P(),
+        ),
+        out_specs=P(("rays", "vrls")),
+        check_vma=False,
+    )(scene, jnp.asarray(table_vrls), jnp.asarray(table_weights),
+      vrls.start, vrls.end, vrls.power, vrls.valid, vrls.particle_count,
+      ray_o, ray_d, sop, key)
+    return li[:n].reshape(h, w, 3)

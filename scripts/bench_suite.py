@@ -123,10 +123,13 @@ def config4():
     )
     t0 = time.time()
     si = alvrl.build_slice_info(scene, params)
+    # round 3: use_pallas routes the render through the heterogeneous
+    # CP-factor Pallas kernel (ops/vrl_pallas.py) — measured warm
+    # 2.1-2.3 s/pass vs 8.5 s on the XLA table path
     img, vrls, info = alvrl.render_alvrl(
         scene, jax.random.key(0), params,
         cfg=VRLConfig(vrl_chunk=128), tracer_cfg=TracerConfig(max_depth=10),
-        ray_tile=1024, host_bands=32, slice_info=si,
+        use_pallas=True, slice_info=si,
     )
     jax.block_until_ready(img)
     cold = time.time() - t0
@@ -134,7 +137,7 @@ def config4():
     img, vrls, info = alvrl.render_alvrl(
         scene, jax.random.key(1), params,
         cfg=VRLConfig(vrl_chunk=128), tracer_cfg=TracerConfig(max_depth=10),
-        ray_tile=1024, host_bands=32, slice_info=si,
+        use_pallas=True, slice_info=si,
     )
     jax.block_until_ready(img)
     warm = time.time() - t0
