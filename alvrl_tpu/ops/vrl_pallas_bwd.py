@@ -1,0 +1,559 @@
+"""Backward Pallas kernel for the homogeneous VRL pair integral.
+
+The north-star contract (BASELINE) wants forward AND backward Pallas
+kernels. Reverse-mode through the forward kernel is impossible (Pallas
+kernels are opaque to AD), and the XLA fallback re-evaluates the whole
+estimator at AD-graph speed (~3x slower than the kernel). This module
+implements the custom VJP the VERDICT prescribes: the backward kernel
+RECOMPUTES the forward estimator with the SAME PRNG seed sequence
+(identical samples) and accumulates the analytic parameter
+cotangents in one pass:
+
+    d_power   (3, N)  — per-VRL  (term is linear in power)
+    d_sigma_t (3,)    — through tau = exp(-sig_t * D), the short-VRL
+                        pdfFailure mixture, and the eye-surface tau
+    d_sigma_s (3,)    — term ~ sigma_s^2 (vol-vol) / sigma_s (vol-surf)
+    d_g               — HG log-derivative at both phase vertices
+    d_tau_eu_s (3, B) — per-ray vol-surf eye transmittance (lets the
+                        XLA side chain d sigma_t through pack_rays)
+
+Derivatives mirror integrate.pair_contribution's estimator exactly
+(vrlIntegrator.cpp:603-785 semantics); the grid is (vrl-tile,
+ray-tile) — j outer so the per-VRL output block stays resident while
+the inner ray dimension accumulates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alvrl_tpu.ops.vrl_pallas import (
+    RAY_TILE, RAY_ROWS, VRL_ROWS, VRL_TILE,
+    _ALB, _HP, _NG, _RD, _RO, _TAU, _VALID, _VE, _VP, _VS, _VVALID,
+    _atan_pos, _asinh, _dot3, _sinh, _tan, _u01,
+)
+
+_INV_FOURPI = 1.0 / (4.0 * np.pi)
+_H_EPS = 1e-6
+# gbar (cotangent of the per-ray output) rides spare ray_pack rows
+_GBAR = 19  # rows 19..21 (RAY_ROWS = 24; 16..18 hold tau_eu_s)
+N_PAR = 8   # d_par rows: sig_t(3), sig_s(3), g, (spare)
+
+
+def _hg(g, c):
+    temp = jnp.maximum(1.0 + g * g + 2.0 * g * c, 1e-12)
+    return _INV_FOURPI * (1.0 - g * g) / (temp * jnp.sqrt(temp))
+
+
+def _dlog_hg_dg(g, c):
+    """d/dg log hg(g, c) = -2g/(1-g^2) - 3(g + c)/(1 + g^2 + 2gc)."""
+    temp = jnp.maximum(1.0 + g * g + 2.0 * g * c, 1e-12)
+    return -2.0 * g / jnp.maximum(1.0 - g * g, 1e-9) \
+        - 3.0 * (g + c) / temp
+
+
+def _bwd_kernel(
+    tri_ref, seed_ref,
+    vrl_ref,    # (VRL_ROWS, VRL_TILE)
+    ray_ref,    # (RAY_TILE, RAY_ROWS) incl. gbar rows
+    med_ref,    # (1, 16)
+    dpw_ref,    # out: (3, VRL_TILE) accumulated over rays
+    dpar_ref,   # out: (N_PAR, 128) lane 0 holds the scalar sums
+    dtau_ref,   # out: (3, RAY_TILE) per-ray d tau_eu_s
+    *,
+    n_tris: int,
+    vol_vol_samples: int,
+    vol_surf_samples: int,
+    short_vrls: bool,
+    phase_kind: int,
+    n_i: int,
+):
+    j = pl.program_id(0)   # vrl tile (outer)
+    i = pl.program_id(1)   # ray tile (inner)
+
+    @pl.when(i == 0)
+    def _():
+        dpw_ref[:, :] = jnp.zeros_like(dpw_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dpar_ref[:, :] = jnp.zeros_like(dpar_ref)
+
+    @pl.when(j == 0)
+    def _():
+        dtau_ref[:, :] = jnp.zeros_like(dtau_ref)
+
+    # SAME seed the forward used for tile (i, j): i * n_j + j with the
+    # forward's (ray, vrl) grid ordering
+    pltpu.prng_seed(seed_ref[0], i * pl.num_programs(0) + j)
+
+    def rrow(k):
+        return ray_ref[:, k][:, None]
+
+    def vrow(k):
+        return vrl_ref[k, :][None, :]
+
+    ox, oy, oz = rrow(_RO), rrow(_RO + 1), rrow(_RO + 2)
+    dx, dy, dz = rrow(_RD), rrow(_RD + 1), rrow(_RD + 2)
+    hx, hy, hz = rrow(_HP), rrow(_HP + 1), rrow(_HP + 2)
+    ngx, ngy, ngz = rrow(_NG), rrow(_NG + 1), rrow(_NG + 2)
+    alb = (rrow(_ALB), rrow(_ALB + 1), rrow(_ALB + 2))
+    rvalid = rrow(_VALID)
+    tau_eu_s = (rrow(_TAU), rrow(_TAU + 1), rrow(_TAU + 2))
+    gbar = (rrow(_GBAR), rrow(_GBAR + 1), rrow(_GBAR + 2))
+
+    sx, sy, sz = vrow(_VS), vrow(_VS + 1), vrow(_VS + 2)
+    ex, ey, ez = vrow(_VE), vrow(_VE + 1), vrow(_VE + 2)
+    pw = (vrow(_VP), vrow(_VP + 1), vrow(_VP + 2))
+    vvalid = vrow(_VVALID)
+
+    sig_t = (med_ref[0, 0], med_ref[0, 1], med_ref[0, 2])
+    sig_s = (med_ref[0, 3], med_ref[0, 4], med_ref[0, 5])
+    g = med_ref[0, 6]
+    msw = med_ref[0, 7]
+
+    shape = (RAY_TILE, VRL_TILE)
+    pair_mask = (rvalid > 0.5) & (vvalid > 0.5)
+
+    vdx, vdy, vdz = ex - sx, ey - sy, ez - sz
+    vlen = jnp.sqrt(jnp.maximum(vdx * vdx + vdy * vdy + vdz * vdz, 1e-30))
+    ivl = 1.0 / vlen
+    ux_v, uy_v, uz_v = vdx * ivl, vdy * ivl, vdz * ivl
+    ex_e, ey_e, ez_e = hx - ox, hy - oy, hz - oz
+    elen = jnp.sqrt(jnp.maximum(
+        ex_e * ex_e + ey_e * ey_e + ez_e * ez_e, 1e-30))
+
+    # ---- identical sampling machinery to the forward ------------------
+    def seg_seg_closest():
+        ax_, ay_, az_ = ex_e, ey_e, ez_e
+        bx_, by_, bz_ = vdx, vdy, vdz
+        wx, wy, wz = ox - sx, oy - sy, oz - sz
+        a = _dot3(ax_, ay_, az_, ax_, ay_, az_)
+        b = _dot3(ax_, ay_, az_, bx_, by_, bz_)
+        c = _dot3(bx_, by_, bz_, bx_, by_, bz_)
+        d = _dot3(ax_, ay_, az_, wx, wy, wz)
+        e = _dot3(bx_, by_, bz_, wx, wy, wz)
+        denom = a * c - b * b
+        par = denom < 1e-9 * a * c + 1e-30
+        s_n = jnp.where(par, 0.0, b * e - c * d)
+        s_d = jnp.where(par, 1.0, denom)
+        t_n = jnp.where(par, e, a * e - b * d)
+        t_d = jnp.where(par, c, denom)
+        below = s_n < 0.0
+        above = s_n > s_d
+        t_n = jnp.where(below, e, jnp.where(above, e + b, t_n))
+        t_d = jnp.where(below | above, c, t_d)
+        s_n = jnp.where(below, 0.0, jnp.where(above, s_d, s_n))
+        t_below = t_n < 0.0
+        t_above = t_n > t_d
+        s_lo = jnp.clip(-d, 0.0, a)
+        s_hi = jnp.clip(-d + b, 0.0, a)
+        s_n = jnp.where(t_below, s_lo, jnp.where(t_above, s_hi, s_n))
+        s_d = jnp.where(t_below | t_above, jnp.maximum(a, 1e-30), s_d)
+        t_n = jnp.where(t_below, 0.0, jnp.where(t_above, t_d, t_n))
+        sc = s_n / jnp.maximum(s_d, 1e-30)
+        tc = t_n / jnp.maximum(t_d, 1e-30)
+        px_ = ox + sc * ax_ - (sx + tc * bx_)
+        py_ = oy + sc * ay_ - (sy + tc * by_)
+        pz_ = oz + sc * az_ - (sz + tc * bz_)
+        h = jnp.sqrt(jnp.maximum(px_ * px_ + py_ * py_ + pz_ * pz_, 0.0))
+        return tc, h
+
+    tc_close, h_close = seg_seg_closest()
+    cos_theta = _dot3(dx, dy, dz, ux_v, uy_v, uz_v)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    near_par = sin_theta < 1e-4
+    sin_safe = jnp.maximum(sin_theta, 1e-4)
+    h = jnp.maximum(h_close, _H_EPS)
+    arc_h = tc_close * vlen
+    a0 = _asinh(-arc_h / h * sin_safe)
+    a1 = _asinh((vlen - arc_h) / h * sin_safe)
+
+    def sample_v(u):
+        new_v = h * _sinh(a0 + u * (a1 - a0)) / sin_safe
+        inv_dist = jax.lax.rsqrt(
+            jnp.maximum(h * h + new_v * new_v * sin_safe * sin_safe, 1e-30))
+        denom = jnp.maximum((a1 - a0) / sin_safe, 1e-30)
+        arc = new_v + arc_h
+        pdf_k = inv_dist / denom
+        return (jnp.where(near_par, u * vlen, arc),
+                jnp.where(near_par, ivl, pdf_k))
+
+    def kulla_u(vx_, vy_, vz_, u):
+        dot_pr = _dot3(dx, dy, dz, vx_ - ox, vy_ - oy, vz_ - oz)
+        ix_ = ox + dot_pr * dx
+        iy_ = oy + dot_pr * dy
+        iz_ = oz + dot_pr * dz
+        ddx, ddy, ddz = vx_ - ix_, vy_ - iy_, vz_ - iz_
+        dis = jnp.maximum(
+            jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz), _H_EPS)
+        dist_ai = jnp.abs(dot_pr)
+        dist_ib = jnp.abs(elen - dot_pr)
+        angle_a = _atan_pos(dist_ai / dis)
+        angle_b = _atan_pos(dist_ib / dis)
+        pos = dot_pr > 0
+        angle_a = jnp.where(pos, -angle_a, angle_a)
+        angle_b = jnp.where(pos & (dist_ai > elen), -angle_b, angle_b)
+        t = dis * _tan((1.0 - u) * angle_a + u * angle_b)
+        span = angle_b - angle_a
+        pdf = jnp.where(
+            jnp.abs(span) > 1e-12,
+            dis / jnp.maximum(span * (dis * dis + t * t), 1e-30), 0.0)
+        return dot_pr + t, pdf
+
+    def occluded_multi(segments):
+        pre = []
+        for (px_, py_, pz_), (qx_, qy_, qz_) in segments:
+            ddx, ddy, ddz = qx_ - px_, qy_ - py_, qz_ - pz_
+            idist = jax.lax.rsqrt(
+                jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-30))
+            dist = (ddx * ddx + ddy * ddy + ddz * ddz) * idist
+            ux, uy, uz = ddx * idist, ddy * idist, ddz * idist
+            lo = 1e-3 * jnp.maximum(dist, 1.0)
+            hi = dist - lo
+            pre.append((px_, py_, pz_, ux, uy, uz, lo, hi))
+
+        def body(t, blocked):
+            base = t * 9
+            p0x = tri_ref[base + 0]
+            p0y = tri_ref[base + 1]
+            p0z = tri_ref[base + 2]
+            e1x = tri_ref[base + 3]
+            e1y = tri_ref[base + 4]
+            e1z = tri_ref[base + 5]
+            e2x = tri_ref[base + 6]
+            e2y = tri_ref[base + 7]
+            e2z = tri_ref[base + 8]
+            out = []
+            for k, (px_, py_, pz_, ux, uy, uz, lo, hi) in enumerate(pre):
+                pvx = uy * e2z - uz * e2y
+                pvy = uz * e2x - ux * e2z
+                pvz = ux * e2y - uy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                adet = det * sgn
+                tvx, tvy, tvz = px_ - p0x, py_ - p0y, pz_ - p0z
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * sgn
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = (ux * qvx + uy * qvy + uz * qvz) * sgn
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * sgn
+                mn = jnp.minimum(uu, vv)
+                mn = jnp.minimum(mn, adet - (uu + vv))
+                mn = jnp.minimum(mn, tt - lo * adet)
+                mn = jnp.minimum(mn, hi * adet - tt)
+                mn = jnp.minimum(mn, adet - 1e-12)
+                out.append(jnp.where(mn > 0.0, 1.0, blocked[k]))
+            return tuple(out)
+
+        init = tuple(jnp.zeros(shape, jnp.float32) for _ in segments)
+        unroll = 4
+        n_main = (n_tris // unroll) * unroll
+
+        def body4(q, blocked):
+            t0 = q * unroll
+            for dt in range(unroll):
+                blocked = body(t0 + dt, blocked)
+            return blocked
+
+        blocked = jax.lax.fori_loop(0, n_main // unroll, body4, init)
+        for t in range(n_main, n_tris):
+            blocked = body(t, blocked)
+        return [b > 0.5 for b in blocked]
+
+    # ---- replay samples ----------------------------------------------
+    vv_samples = []
+    for _ in range(vol_vol_samples):
+        u1 = _u01(shape)
+        u2 = _u01(shape)
+        arc_v, pdf_v = sample_v(u1)
+        vx_ = sx + arc_v * ux_v
+        vy_ = sy + arc_v * uy_v
+        vz_ = sz + arc_v * uz_v
+        arc_u, pdf_u = kulla_u(vx_, vy_, vz_, u2)
+        ux_p = ox + arc_u * dx
+        uy_p = oy + arc_u * dy
+        uz_p = oz + arc_u * dz
+        vv_samples.append(dict(arc_u=arc_u, arc_v=arc_v,
+                               pdf=pdf_v * pdf_u,
+                               u=(ux_p, uy_p, uz_p), v=(vx_, vy_, vz_)))
+
+    alb_any = (alb[0] + alb[1] + alb[2]) > 0.0
+    vs_samples = []
+    for _ in range(vol_surf_samples):
+        u1 = _u01(shape)
+        dot_pr = _dot3(ux_v, uy_v, uz_v, hx - sx, hy - sy, hz - sz)
+        ix_ = sx + dot_pr * ux_v
+        iy_ = sy + dot_pr * uy_v
+        iz_ = sz + dot_pr * uz_v
+        ddx, ddy, ddz = hx - ix_, hy - iy_, hz - iz_
+        dis = jnp.maximum(
+            jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz), _H_EPS)
+        dist_ai = jnp.abs(dot_pr)
+        dist_ib = jnp.abs(vlen - dot_pr)
+        angle_a = _atan_pos(dist_ai / dis)
+        angle_b = _atan_pos(dist_ib / dis)
+        pos = dot_pr > 0
+        angle_a = jnp.where(pos, -angle_a, angle_a)
+        angle_b = jnp.where(pos & (dist_ai > vlen), -angle_b, angle_b)
+        t = dis * _tan((1.0 - u1) * angle_a + u1 * angle_b)
+        span = angle_b - angle_a
+        pdf_v = jnp.where(
+            jnp.abs(span) > 1e-12,
+            dis / jnp.maximum(span * (dis * dis + t * t), 1e-30), 0.0)
+        arc_v = dot_pr + t
+        vs_samples.append(dict(
+            arc_v=arc_v, pdf=pdf_v,
+            v=(sx + arc_v * ux_v, sy + arc_v * uy_v, sz + arc_v * uz_v)))
+
+    segments = [(smp["u"], smp["v"]) for smp in vv_samples]
+    segments += [((hx, hy, hz), smp["v"]) for smp in vs_samples]
+    blocked_all = occluded_multi(segments)
+
+    d_pw = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+    d_st = [jnp.float32(0.0)] * 3
+    d_ss = [jnp.float32(0.0)] * 3
+    d_g = jnp.float32(0.0)
+    d_tau = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+
+    # ---- vol-vol cotangents -------------------------------------------
+    for k, smp in enumerate(vv_samples):
+        ux_p, uy_p, uz_p = smp["u"]
+        vx_, vy_, vz_ = smp["v"]
+        arc_u, arc_v, pdf = smp["arc_u"], smp["arc_v"], smp["pdf"]
+        blocked = blocked_all[k]
+        dxuv, dyuv, dzuv = ux_p - vx_, uy_p - vy_, uz_p - vz_
+        d_uv2 = dxuv * dxuv + dyuv * dyuv + dzuv * dzuv
+        d_uv = jnp.sqrt(jnp.maximum(d_uv2, 1e-30))
+        i_uv = 1.0 / d_uv
+        vux, vuy, vuz = dxuv * i_uv, dyuv * i_uv, dzuv * i_uv
+        d_eu = jnp.abs(arc_u)
+        d_sv = jnp.abs(arc_v)
+        ok = pair_mask & ~blocked & (d_uv2 > 0.0) & (pdf > 0.0)
+        c_u = _dot3(vux, vuy, vuz, dx, dy, dz)
+        c_v = -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz)
+        ph_u = _hg(g, c_u)
+        ph_v = _hg(g, c_v)
+        geo = jnp.where(ok, ph_u * ph_v / jnp.maximum(pdf * d_uv2, 1e-30),
+                        0.0)
+        pf_c = [jnp.exp(-sig_t[c] * d_sv) for c in range(3)]
+        pf = msw * (pf_c[0] + pf_c[1] + pf_c[2]) / 3.0 + (1.0 - msw)
+        if short_vrls:
+            geo = geo / jnp.maximum(pf, 1e-30)
+        dgdg = _dlog_hg_dg(g, c_u) + _dlog_hg_dg(g, c_v)
+        dd = d_eu + d_uv + d_sv
+        wterm = []
+        for ch in range(3):
+            tau = jnp.exp(-sig_t[ch] * dd)
+            t_ch = (pw[ch] * sig_s[ch] * sig_s[ch] * tau * geo
+                    * (1.0 / vol_vol_samples))
+            gt = gbar[ch] * t_ch          # cotangent-weighted term
+            wterm.append(gt)
+            d_pw[ch] += gt / jnp.maximum(pw[ch], 1e-30) \
+                * jnp.where(pw[ch] != 0.0, 1.0, 0.0)
+            d_ss[ch] += 2.0 * jnp.sum(gt) / jnp.maximum(sig_s[ch], 1e-30)
+            d_st[ch] += jnp.sum(gt * (-dd))
+        gt_all = wterm[0] + wterm[1] + wterm[2]
+        d_g += jnp.sum(gt_all * dgdg)
+        if short_vrls:
+            # t_ch ~ 1/pf: d/d sig_t_c = t_ch * msw d_sv exp(-st_c d_sv)
+            #                            / (3 pf)
+            for c in range(3):
+                d_st[c] += jnp.sum(
+                    gt_all * msw * d_sv * pf_c[c]
+                    / jnp.maximum(3.0 * pf, 1e-30))
+
+    # ---- vol-surf cotangents ------------------------------------------
+    for k, smp in enumerate(vs_samples):
+        vx_, vy_, vz_ = smp["v"]
+        arc_v, pdf_v = smp["arc_v"], smp["pdf"]
+        blocked = blocked_all[vol_vol_samples + k]
+        dxuv, dyuv, dzuv = hx - vx_, hy - vy_, hz - vz_
+        d_uv2 = dxuv * dxuv + dyuv * dyuv + dzuv * dzuv
+        d_uv = jnp.sqrt(jnp.maximum(d_uv2, 1e-30))
+        i_uv = 1.0 / d_uv
+        vux, vuy, vuz = dxuv * i_uv, dyuv * i_uv, dzuv * i_uv
+        d_sv = jnp.abs(arc_v)
+        cos_o = jnp.maximum(_dot3(ngx, ngy, ngz, -vux, -vuy, -vuz), 0.0)
+        ok = pair_mask & alb_any & ~blocked & (d_uv2 > 0.0) & (pdf_v > 0.0)
+        c_v = -_dot3(ux_v, uy_v, uz_v, vux, vuy, vuz)
+        ph_v = _hg(g, c_v)
+        geo = jnp.where(
+            ok, ph_v * cos_o * (1.0 / np.pi)
+            / jnp.maximum(pdf_v * d_uv2, 1e-30), 0.0)
+        pf_c = [jnp.exp(-sig_t[c] * d_sv) for c in range(3)]
+        pf = msw * (pf_c[0] + pf_c[1] + pf_c[2]) / 3.0 + (1.0 - msw)
+        if short_vrls:
+            geo = geo / jnp.maximum(pf, 1e-30)
+        dgdg = _dlog_hg_dg(g, c_v)
+        dd = d_uv + d_sv
+        wterm = []
+        for ch in range(3):
+            tau = jnp.exp(-sig_t[ch] * dd)
+            t_ch = (pw[ch] * sig_s[ch] * alb[ch] * tau_eu_s[ch] * tau
+                    * geo * (1.0 / vol_surf_samples))
+            gt = gbar[ch] * t_ch
+            wterm.append(gt)
+            d_pw[ch] += gt / jnp.maximum(pw[ch], 1e-30) \
+                * jnp.where(pw[ch] != 0.0, 1.0, 0.0)
+            d_ss[ch] += jnp.sum(gt) / jnp.maximum(sig_s[ch], 1e-30)
+            d_st[ch] += jnp.sum(gt * (-dd))
+            # d tau_eu_s: per-ray row sum over vrls
+            d_tau[ch] += gt / jnp.maximum(tau_eu_s[ch], 1e-30)
+        gt_all = wterm[0] + wterm[1] + wterm[2]
+        d_g += jnp.sum(gt_all * dgdg)
+        if short_vrls:
+            for c in range(3):
+                d_st[c] += jnp.sum(
+                    gt_all * msw * d_sv * pf_c[c]
+                    / jnp.maximum(3.0 * pf, 1e-30))
+
+    for ch in range(3):
+        dpw_ref[ch, :] += jnp.sum(d_pw[ch], axis=0)
+        dtau_ref[ch, :] += jnp.sum(d_tau[ch], axis=1)
+    dpar_ref[0, 0] += d_st[0]
+    dpar_ref[1, 0] += d_st[1]
+    dpar_ref[2, 0] += d_st[2]
+    dpar_ref[3, 0] += d_ss[0]
+    dpar_ref[4, 0] += d_ss[1]
+    dpar_ref[5, 0] += d_ss[2]
+    dpar_ref[6, 0] += d_g
+
+
+@partial(
+    jax.jit,
+    static_argnames=("vol_vol_samples", "vol_surf_samples", "short_vrls",
+                     "phase_kind"),
+)
+def vrl_sum_pallas_bwd(
+    ray_pack_g,   # (B, RAY_ROWS) with gbar in rows _GBAR..+2
+    vrl_pack,     # (VRL_ROWS, N)
+    tri_flat,     # (T*9,)
+    med_pack,     # (1, 16)
+    seed,         # (1,) i32 — MUST equal the forward's seed
+    vol_vol_samples: int = 2,
+    vol_surf_samples: int = 2,
+    short_vrls: bool = True,
+    phase_kind: int = 0,
+):
+    """Seed-replay backward pass. Returns (d_power (3, N),
+    d_par (N_PAR,) [sig_t 0:3, sig_s 3:6, g 6], d_tau_eu_s (3, B))."""
+    b = ray_pack_g.shape[0]
+    n = vrl_pack.shape[1]
+    n_tris = tri_flat.shape[0] // 9
+    n_i = b // RAY_TILE
+    grid = (n // VRL_TILE, n_i)
+
+    kernel = partial(
+        _bwd_kernel,
+        n_tris=n_tris,
+        vol_vol_samples=vol_vol_samples,
+        vol_surf_samples=vol_surf_samples,
+        short_vrls=short_vrls,
+        phase_kind=phase_kind,
+        n_i=n_i,
+    )
+    d_pw, d_par, d_tau = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (VRL_ROWS, VRL_TILE), lambda j, i, *_: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (RAY_TILE, RAY_ROWS), lambda j, i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 16), lambda j, i, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (3, VRL_TILE), lambda j, i, *_: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (N_PAR, 128), lambda j, i, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (3, RAY_TILE), lambda j, i, *_: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((N_PAR, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, b), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(tri_flat, seed, vrl_pack, ray_pack_g, med_pack)
+    return d_pw, d_par[:, 0], d_tau
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: the differentiable kernel entry point. Gradients
+# flow to the VRL power rows, the medium scalars, and the per-ray
+# eye-surface tau rows (through which XLA chains d sigma_t of the
+# pack-side exp(-sigma_t * dist)); geometry rows are detached (the
+# detached-sampling contract of media/api.py).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def vrl_sum_diff(ray_pack, vrl_pack, med_pack, tri_flat, seed,
+                 vol_vol_samples=2, vol_surf_samples=2, short_vrls=True,
+                 phase_kind=0):
+    from alvrl_tpu.ops.vrl_pallas import vrl_sum_pallas
+
+    return vrl_sum_pallas(
+        ray_pack, vrl_pack, tri_flat, med_pack, seed,
+        vol_vol_samples=vol_vol_samples,
+        vol_surf_samples=vol_surf_samples,
+        short_vrls=short_vrls, phase_kind=phase_kind)
+
+
+def _vsd_fwd(ray_pack, vrl_pack, med_pack, tri_flat, seed,
+             vol_vol_samples, vol_surf_samples, short_vrls, phase_kind):
+    out = vrl_sum_diff(ray_pack, vrl_pack, med_pack, tri_flat, seed,
+                       vol_vol_samples, vol_surf_samples, short_vrls,
+                       phase_kind)
+    return out, (ray_pack, vrl_pack, med_pack, tri_flat, seed)
+
+
+def _vsd_bwd(vol_vol_samples, vol_surf_samples, short_vrls, phase_kind,
+             res, gbar):
+    from alvrl_tpu.ops.vrl_pallas import _VP
+
+    ray_pack, vrl_pack, med_pack, tri_flat, seed = res
+    ray_pack_g = ray_pack.at[:, _GBAR:_GBAR + 3].set(gbar.T)
+    d_pw, d_par, d_tau = vrl_sum_pallas_bwd(
+        ray_pack_g, vrl_pack, tri_flat, med_pack, seed,
+        vol_vol_samples=vol_vol_samples,
+        vol_surf_samples=vol_surf_samples,
+        short_vrls=short_vrls, phase_kind=phase_kind)
+    d_ray = jnp.zeros_like(ray_pack).at[:, 16:19].set(d_tau.T)
+    d_vrl = jnp.zeros_like(vrl_pack).at[_VP:_VP + 3, :].set(d_pw)
+    d_med = (jnp.zeros_like(med_pack)
+             .at[0, 0:3].set(d_par[0:3])
+             .at[0, 3:6].set(d_par[3:6])
+             .at[0, 6].set(d_par[6]))
+    return d_ray, d_vrl, d_med, jnp.zeros_like(tri_flat), None
+
+
+vrl_sum_diff.defvjp(_vsd_fwd, _vsd_bwd)
