@@ -418,13 +418,13 @@ def _bwd_kernel(
     for ch in range(3):
         dpw_ref[ch, :] += jnp.sum(d_pw[ch], axis=0)
         dtau_ref[ch, :] += jnp.sum(d_tau[ch], axis=1)
-    dpar_ref[0, 0] += d_st[0]
-    dpar_ref[1, 0] += d_st[1]
-    dpar_ref[2, 0] += d_st[2]
-    dpar_ref[3, 0] += d_ss[0]
-    dpar_ref[4, 0] += d_ss[1]
-    dpar_ref[5, 0] += d_ss[2]
-    dpar_ref[6, 0] += d_g
+    # scalar stores to VMEM are unsupported (Mosaic) — broadcast each
+    # scalar across a lane row; every lane carries the same total and
+    # the wrapper reads lane 0
+    updates = [d_st[0], d_st[1], d_st[2], d_ss[0], d_ss[1], d_ss[2],
+               d_g, jnp.float32(0.0)]
+    dpar_ref[:, :] += jnp.stack(
+        [jnp.full((128,), u, jnp.float32) for u in updates])
 
 
 @partial(
