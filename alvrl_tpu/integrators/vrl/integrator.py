@@ -640,6 +640,44 @@ def _hetero_pack_vrls(scene: Scene, vrls: VRLs):
     return pk.pack_vrls_hetero(vrls, mapi_.prepare_scene(scene).medium)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def render_with_vrls_pallas_diff(scene: Scene, vrls: VRLs, key,
+                                 cfg: VRLConfig = VRLConfig()):
+    """Differentiable unclustered Pallas render: same image as
+    render_with_vrls_pallas, but gradients flow to scene.medium
+    (sigma_a/sigma_s/g), emitter-scaled VRL powers, and the pack-side
+    eye-surface transmittance via the seed-replay backward kernel
+    (ops.vrl_pallas_bwd.vrl_sum_diff). Geometry stays detached (the
+    detached-sampling contract)."""
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops.vrl_pallas_bwd import vrl_sum_diff
+
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    hit = intersect.intersect_all(ray_o, ray_d, scene.vertices, scene.faces)
+
+    ray_pack = pk.pack_rays(scene, ray_o, ray_d, hit)
+    vrl_pack = pk.pack_vrls(vrls)
+    tri_flat = pk.pack_tris(scene)
+    med_pack = pk.pack_medium(scene)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+    out = vrl_sum_diff(
+        ray_pack, vrl_pack, med_pack, tri_flat, seed,
+        cfg.vol_vol_samples, cfg.vol_surf_samples, cfg.short_vrls,
+        scene.medium.phase_kind,
+    )
+    n = px.shape[0]
+    li = out.T[:n] / jnp.maximum(vrls.particle_count, 1.0)
+    li = jnp.where(hit.valid[..., None], li, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)
+
+
 # ---------------------------------------------------------------------------
 # Clustered path (Adaptive LightSlice)
 # ---------------------------------------------------------------------------

@@ -33,15 +33,29 @@ def test_vrl_matches_oracle():
         imgs.append(np.asarray(img))
     vrl_img = np.mean(imgs, axis=0)
 
-    o_img = np.asarray(
-        volpath.render_volpath(
-            scene, jax.random.key(100), spp=1024,
+    # TWO independent oracle runs: their disagreement measures the
+    # oracle's own noise, and the A/B asserts against THAT instead of
+    # fixed bands (VERDICT round-2 item 8 — variance-aware A/B)
+    o_runs = [
+        np.asarray(volpath.render_volpath(
+            scene, jax.random.key(100 + i), spp=1024,
             cfg=volpath.VolpathConfig(max_depth=16), ray_tile=64,
-        )
-    )
+        ))
+        for i in range(2)
+    ]
+    o_img = np.mean(o_runs, axis=0)
 
     assert np.isfinite(vrl_img).all() and np.isfinite(o_img).all()
-    ratio = vrl_img.mean() / o_img.mean()
-    assert 0.85 < ratio < 1.15, ratio
-    rel = np.abs(vrl_img - o_img) / (np.abs(o_img) + 1e-2)
-    assert rel.mean() < 0.25, rel.mean()
+    # oracle self-noise of the image MEAN: |m1-m2| estimates
+    # sqrt(2)*sigma_mean of one run; the averaged oracle has
+    # sigma_mean/sqrt(2); the 6-run VRL mean adds its own term of
+    # similar scale — allow 4 sigma with a small absolute floor
+    m1, m2 = o_runs[0].mean(), o_runs[1].mean()
+    sigma_mean = max(abs(m1 - m2) / 2.0, 0.01 * o_img.mean())
+    z = abs(vrl_img.mean() - o_img.mean()) / sigma_mean
+    assert z < 4.0, (z, vrl_img.mean(), o_img.mean(), sigma_mean)
+    # per-pixel agreement within the oracle's own per-pixel noise
+    self_rel = (np.abs(o_runs[0] - o_runs[1])
+                / (np.abs(o_img) + 1e-2)).mean()
+    rel = (np.abs(vrl_img - o_img) / (np.abs(o_img) + 1e-2)).mean()
+    assert rel < 1.5 * self_rel + 0.02, (rel, self_rel)
