@@ -25,6 +25,7 @@ from alvrl_tpu.integrators.vrl import cluster as cl
 from alvrl_tpu.integrators.vrl.integrate import VRLConfig
 from alvrl_tpu.integrators.vrl.integrator import (
     build_R,
+    build_R_pallas,
     render_clustered,
     trace_eye_rays,
 )
@@ -100,11 +101,14 @@ def prepare_clustering(
     params: ALVRLParams,
     cfg: VRLConfig,
     slice_info: SliceInfo = None,
+    use_pallas: bool = False,
 ):
     """Host+device prepass: slices, representative pixels, R, clusters.
     Returns (slice_of_pixel (H*W,) int32 row ids, table_vrls, table_weights)
     as device arrays (fallback appended as the last table row).
-    Pass a cached `slice_info` to skip the per-pass slicing."""
+    Pass a cached `slice_info` to skip the per-pass slicing.
+    use_pallas builds R through the pair kernel's R mode
+    (integrator.build_R_pallas)."""
     p = params.cluster
     cam = scene.camera
     w, h = cam.width, cam.height
@@ -123,7 +127,8 @@ def prepare_clustering(
     px = jnp.asarray(all_rows % w, jnp.int32)
     py = jnp.asarray(all_rows // w, jnp.int32)
     ray_o, ray_d = perspective.sample_ray(cam, px, py)
-    r_mean, r_var = build_R(
+    r_builder = build_R_pallas if use_pallas else build_R
+    r_mean, r_var = r_builder(
         scene, ray_o, ray_d, vrls, rng.fold(jax.random.key(params.seed), 11), cfg
     )
     r_mean = np.asarray(r_mean, np.float64)
@@ -186,7 +191,8 @@ def render_alvrl(
                    slots_per_particle=tracer_cfg.max_depth)
 
     sop, tv, tw, info = prepare_clustering(
-        scene, vrls, k_r, params, cfg, slice_info=slice_info
+        scene, vrls, k_r, params, cfg, slice_info=slice_info,
+        use_pallas=use_pallas,
     )
     if use_pallas:
         from alvrl_tpu.integrators.vrl.integrator import (

@@ -678,6 +678,51 @@ def render_with_vrls_pallas_diff(scene: Scene, vrls: VRLs, key,
     return film_mod.develop(img, wgt)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_cp"))
+def render_with_vrls_pallas_hetero_diff(
+    scene: Scene, vrls: VRLs, key, cp_pack, dens_scale,
+    cfg: VRLConfig = VRLConfig(), n_cp: int = CP_RANK,
+):
+    """Differentiable grid-medium unclustered Pallas render: gradients
+    flow to scene.medium (sigma_t_color / sigma_s_color / g / the
+    density voxels and med.scale through the cumulative-OD table
+    cotangents), emitter-scaled VRL powers, and an explicit dens_scale
+    multiplier on the CP density factors (the in-kernel density terms'
+    scale direction — see ops/vrl_pallas_bwd module docstring for the
+    per-voxel caveat). cp_pack comes from ops.pack.pack_cp (host-side
+    fit, detached)."""
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops.vrl_pallas_bwd import vrl_sum_hetero_diff
+
+    scene_p = mapi_.prepare_scene(scene)
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    hit = intersect.intersect_all(ray_o, ray_d, scene.vertices,
+                                  scene.faces)
+
+    ray_pack = pk.pack_rays_hetero(scene_p, ray_o, ray_d, hit)
+    vrl_pack = pk.pack_vrls_hetero(vrls, scene_p.medium)
+    tri_flat = pk.pack_tris(scene_p)
+    med_pack = pk.pack_medium_hetero(scene_p.medium)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+    out = vrl_sum_hetero_diff(
+        ray_pack, vrl_pack, med_pack, cp_pack, dens_scale, tri_flat,
+        seed, n_cp, cfg.vol_vol_samples, cfg.vol_surf_samples,
+        cfg.short_vrls, scene.medium.phase_kind, cfg.uv_tau_steps,
+    )
+    n = px.shape[0]
+    li = out.T[:n] / jnp.maximum(vrls.particle_count, 1.0)
+    li = jnp.where(hit.valid[..., None], li, 0.0)
+    img, wgt = film_mod.splat_box(w, h, px, py, li)
+    return film_mod.develop(img, wgt)
+
+
 # ---------------------------------------------------------------------------
 # Clustered path (Adaptive LightSlice)
 # ---------------------------------------------------------------------------
@@ -754,6 +799,73 @@ def build_R(scene: Scene, ray_o, ray_d, vrls: VRLs, key, cfg: VRLConfig):
     means = jnp.moveaxis(means, 0, 1).reshape(b, n_chunks * c)[:, :n]
     variances = jnp.moveaxis(variances, 0, 1).reshape(b, n_chunks * c)[:, :n]
     return means, variances
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _build_r_pallas_jit(scene: Scene, ray_o, ray_d, vrls: VRLs, seed,
+                        cfg: VRLConfig):
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops import vrl_pallas as vp
+
+    scene = mapi_.prepare_scene(scene)
+    hit = trace_eye_rays(scene, ray_o, ray_d)
+    ray_pack = pk.pack_rays(scene, ray_o, ray_d, hit)
+    vrl_pack = pk.pack_vrls(vrls)
+    return vp.vrl_r_pallas(
+        ray_pack, vrl_pack, pk.pack_tris(scene), pk.pack_medium(scene),
+        seed, cfg.vol_vol_samples, cfg.vol_surf_samples, cfg.short_vrls,
+        scene.medium.phase_kind)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_cp"))
+def _build_r_pallas_hetero_jit(scene: Scene, ray_o, ray_d, vrls: VRLs,
+                               cp_pack, seed, cfg: VRLConfig, n_cp: int):
+    from alvrl_tpu.media import api as mapi_
+    from alvrl_tpu.ops import pack as pk
+    from alvrl_tpu.ops import vrl_pallas as vp
+
+    scene = mapi_.prepare_scene(scene)
+    hit = trace_eye_rays(scene, ray_o, ray_d)
+    ray_pack = pk.pack_rays_hetero(scene, ray_o, ray_d, hit)
+    vrl_pack = pk.pack_vrls_hetero(vrls, scene.medium)
+    return vp.vrl_r_pallas_hetero(
+        ray_pack, vrl_pack, pk.pack_tris(scene),
+        pk.pack_medium_hetero(scene.medium), cp_pack, seed, n_cp,
+        cfg.vol_vol_samples, cfg.vol_surf_samples, cfg.short_vrls,
+        scene.medium.phase_kind, cfg.uv_tau_steps)
+
+
+def build_R_pallas(scene: Scene, ray_o, ray_d, vrls: VRLs, key,
+                   cfg: VRLConfig):
+    """build_R through the Pallas pair-tile kernel in R mode
+    (ops.vrl_pallas.vrl_r_pallas[_hetero]): same luminance mean /
+    variance-of-mean semantics, at kernel speed instead of the XLA
+    AD-graph estimator — the R build dominated the clustered pass at
+    large VRL counts (VERDICT r03 next-round item 4; reference
+    counterpart: Rbuilder threads, vrlIntegrator.cpp:1038-1083).
+    Falls back to build_R for grid media whose density does not
+    CP-compress. The RNG stream differs from build_R's (both are
+    unbiased estimates of the same transfer matrix)."""
+    from alvrl_tpu.media import api as mapi_
+
+    b = ray_o.shape[0]
+    n = vrls.capacity
+    seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    if mapi_.is_homogeneous(scene.medium):
+        out = _build_r_pallas_jit(scene, ray_o, ray_d, vrls, seed, cfg)
+    else:
+        from alvrl_tpu.ops import pack as pk
+
+        cp_pack, cp_err = pk.pack_cp(scene.medium, rank=CP_RANK)
+        if cp_err > CP_ERR_FALLBACK:
+            return build_R(scene, ray_o, ray_d, vrls, key, cfg)
+        out = _build_r_pallas_hetero_jit(
+            scene, ray_o, ray_d, vrls, cp_pack, seed, cfg, CP_RANK)
+    norm = 1.0 / jnp.maximum(vrls.particle_count, 1.0)
+    mean = out[0, :b, :n] * norm
+    var = out[1, :b, :n] * (norm * norm)
+    return mean, var
 
 
 @partial(jax.jit, static_argnames=("cfg", "ray_tile", "band_h"))

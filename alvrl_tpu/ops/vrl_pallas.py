@@ -157,6 +157,14 @@ def _kernel(
     debug_out: str = None,  # hetero debug: write a chosen vol-vol
                             # intermediate (summed over the vrl axis)
                             # into channel 0 instead of radiance
+    r_mode: bool = False,   # transfer-matrix mode: out_ref is a
+                            # (2, RAY_TILE, VRL_TILE) block holding the
+                            # per-pair luminance sample mean [0] and
+                            # variance-of-mean [1] (the Welford outputs
+                            # the clustering consumes; build_R /
+                            # integrate.pair_contribution semantics,
+                            # getLiLuminanceVrlContributions,
+                            # vrlIntegrator.cpp:527-539)
 ):
     i = pl.program_id(0)
     if clustered:
@@ -167,9 +175,10 @@ def _kernel(
     else:
         j = pl.program_id(1)
 
-        @pl.when(j == 0)
-        def _():
-            out_ref[:, :] = jnp.zeros_like(out_ref)
+        if not r_mode:
+            @pl.when(j == 0)
+            def _():
+                out_ref[:, :] = jnp.zeros_like(out_ref)
 
         pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
 
@@ -488,6 +497,27 @@ def _kernel(
         return [b > 0.5 for b in blocked]
 
     acc = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+    # r_mode: per-family luminance sums / sums of squares for the
+    # sample mean + variance-of-mean (Rec.709 weights, spectrum._LUM)
+    lum_s = {"vv": jnp.zeros(shape, jnp.float32),
+             "vs": jnp.zeros(shape, jnp.float32)}
+    lum_q = {"vv": jnp.zeros(shape, jnp.float32),
+             "vs": jnp.zeros(shape, jnp.float32)}
+
+    def _emit(t3, family):
+        """Fold one sample's 3-channel term into the accumulators.
+        t3 carries the RAW per-sample term (no 1/samples factor)."""
+        if r_mode:
+            lum = (jnp.float32(0.212671) * t3[0]
+                   + jnp.float32(0.715160) * t3[1]
+                   + jnp.float32(0.072169) * t3[2])
+            lum_s[family] += lum
+            lum_q[family] += lum * lum
+        else:
+            inv = 1.0 / (vol_vol_samples if family == "vv"
+                         else vol_surf_samples)
+            for ch in range(3):
+                acc[ch] += t3[ch] * inv
 
     # ---------------- sample generation ------------------------------
     vv_samples = []
@@ -591,12 +621,11 @@ def _kernel(
                 # sampling-weight mixture (heterogeneous.cpp eval)
                 geo = geo / jnp.maximum(jnp.exp(-chan * od_sv), 1e-30)
             od_all = od_eu + od_uv + od_sv
-            for ch in range(3):
-                tau = jnp.exp(-sig_t[ch] * od_all)
-                acc[ch] += (
-                    pw[ch] * (sig_s[ch] * dens_v) * (sig_s[ch] * dens_u)
-                    * tau * geo * (1.0 / vol_vol_samples)
-                )
+            _emit([
+                pw[ch] * (sig_s[ch] * dens_v) * (sig_s[ch] * dens_u)
+                * jnp.exp(-sig_t[ch] * od_all) * geo
+                for ch in range(3)
+            ], "vv")
         else:
             # pdfFailure of the vrl segment (balance strategy, 3 channels)
             if short_vrls:
@@ -607,12 +636,11 @@ def _kernel(
                 ) * (1.0 / 3.0)
                 pf = msw * pf + (1.0 - msw)
                 geo = geo / jnp.maximum(pf, 1e-30)
-            for ch in range(3):
-                tau = jnp.exp(-sig_t[ch] * (d_eu + d_uv + d_sv))
-                acc[ch] += (
-                    pw[ch] * sig_s[ch] * sig_s[ch] * tau * geo
-                    * (1.0 / vol_vol_samples)
-                )
+            _emit([
+                pw[ch] * sig_s[ch] * sig_s[ch]
+                * jnp.exp(-sig_t[ch] * (d_eu + d_uv + d_sv)) * geo
+                for ch in range(3)
+            ], "vv")
 
     # ---------------- vol-surf integrand -----------------------------
     for k, smp in enumerate(vs_samples):
@@ -644,13 +672,11 @@ def _kernel(
             if short_vrls:
                 geo = geo / jnp.maximum(jnp.exp(-chan * od_sv), 1e-30)
             od_all = od_uv + od_sv
-            for ch in range(3):
-                tau = jnp.exp(-sig_t[ch] * od_all)
-                acc[ch] += (
-                    pw[ch] * (sig_s[ch] * dens_v) * alb[ch]
-                    * tau_eu_s[ch] * tau * geo
-                    * (1.0 / vol_surf_samples)
-                )
+            _emit([
+                pw[ch] * (sig_s[ch] * dens_v) * alb[ch]
+                * tau_eu_s[ch] * jnp.exp(-sig_t[ch] * od_all) * geo
+                for ch in range(3)
+            ], "vs")
         else:
             if short_vrls:
                 pf = (
@@ -660,12 +686,31 @@ def _kernel(
                 ) * (1.0 / 3.0)
                 pf = msw * pf + (1.0 - msw)
                 geo = geo / jnp.maximum(pf, 1e-30)
-            for ch in range(3):
-                tau = jnp.exp(-sig_t[ch] * (d_uv + d_sv))
-                acc[ch] += (
-                    pw[ch] * sig_s[ch] * alb[ch] * tau_eu_s[ch] * tau * geo
-                    * (1.0 / vol_surf_samples)
-                )
+            _emit([
+                pw[ch] * sig_s[ch] * alb[ch] * tau_eu_s[ch]
+                * jnp.exp(-sig_t[ch] * (d_uv + d_sv)) * geo
+                for ch in range(3)
+            ], "vs")
+
+    if r_mode:
+        # sample mean + variance-of-mean per family, summed
+        # (pair_contribution semantics)
+        mean = jnp.zeros(shape, jnp.float32)
+        var = jnp.zeros(shape, jnp.float32)
+        for family, s_n in (("vv", vol_vol_samples),
+                            ("vs", vol_surf_samples)):
+            if s_n == 0:
+                continue
+            mu = lum_s[family] / s_n
+            mean += mu
+            if s_n > 1:
+                # sum (x - mu)^2 = sum x^2 - n mu^2; clamp the
+                # cancellation residue
+                ssq = jnp.maximum(lum_q[family] - s_n * mu * mu, 0.0)
+                var += ssq / (s_n - 1) / s_n
+        out_ref[0, :, :] = mean
+        out_ref[1, :, :] = var
+        return
 
     for ch in range(3):
         out_ref[ch, :] += jnp.sum(acc[ch], axis=1)
@@ -951,6 +996,154 @@ def vrl_sum_pallas_hetero_clustered(
         ),
         out_shape=jax.ShapeDtypeStruct((3, b), jnp.float32),
     )(tri_flat, seed, tile_slice, ray_pack, vrl_tables, med_pack, cp_pack)
+
+
+# ---------------------------------------------------------------------------
+# Transfer-matrix (R) mode: the same pair estimator emitting per-pair
+# luminance mean + variance-of-mean instead of the per-ray radiance sum
+# (VERDICT r03 next-round item 4: the R build previously ran through
+# the XLA pair_contribution at AD-graph speed and dominated the
+# clustered pass at large VRL counts). Counterpart of the reference's
+# Rbuilder threads (vrlIntegrator.cpp:1038-1083 over
+# getLiLuminanceVrlContributions :527-539).
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("vol_vol_samples", "vol_surf_samples", "short_vrls",
+                     "phase_kind"),
+)
+def vrl_r_pallas(
+    ray_pack,     # (P, RAY_ROWS) f32 representative rays, P % 128 == 0
+    vrl_pack,     # (VRL_ROWS, N) f32
+    tri_flat,     # (T*9,) f32
+    med_pack,     # (1, 16) f32
+    seed,         # (1,) i32
+    vol_vol_samples: int = 2,
+    vol_surf_samples: int = 2,
+    short_vrls: bool = True,
+    phase_kind: int = 0,
+):
+    """Returns (2, P, N): per-pair luminance [mean, var-of-mean], not
+    particle-normalized."""
+    b = ray_pack.shape[0]
+    n = vrl_pack.shape[1]
+    n_tris = tri_flat.shape[0] // 9
+    grid = (b // RAY_TILE, n // VRL_TILE)
+
+    kernel = partial(
+        _kernel,
+        n_tris=n_tris,
+        vol_vol_samples=vol_vol_samples,
+        vol_surf_samples=vol_surf_samples,
+        short_vrls=short_vrls,
+        phase_kind=phase_kind,
+        r_mode=True,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (RAY_TILE, RAY_ROWS), lambda i, j, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (VRL_ROWS, VRL_TILE), lambda i, j, *_: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 16), lambda i, j, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (2, RAY_TILE, VRL_TILE), lambda i, j, *_: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, b, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(tri_flat, seed, ray_pack, vrl_pack, med_pack)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_cp", "vol_vol_samples", "vol_surf_samples",
+                     "short_vrls", "phase_kind", "uv_steps"),
+)
+def vrl_r_pallas_hetero(
+    ray_pack,     # (P, H_RAY_ROWS) f32
+    vrl_pack,     # (H_VRL_ROWS, N) f32
+    tri_flat,     # (T*9,) f32
+    med_pack,     # (1, 32) f32
+    cp_pack,      # (3*n_cp, 128) f32
+    seed,         # (1,) i32
+    n_cp: int,
+    vol_vol_samples: int = 2,
+    vol_surf_samples: int = 2,
+    short_vrls: bool = True,
+    phase_kind: int = 0,
+    uv_steps: int = 4,
+):
+    """Grid-medium R build: (2, P, N) per-pair luminance
+    [mean, var-of-mean]."""
+    b = ray_pack.shape[0]
+    n = vrl_pack.shape[1]
+    n_tris = tri_flat.shape[0] // 9
+    grid = (b // RAY_TILE, n // VRL_TILE)
+
+    def kernel(tri_ref, seed_ref, ray_ref, vrl_ref, med_ref, cp_ref,
+               out_ref):
+        _kernel(
+            tri_ref, seed_ref, ray_ref, vrl_ref, med_ref, out_ref,
+            n_tris=n_tris,
+            vol_vol_samples=vol_vol_samples,
+            vol_surf_samples=vol_surf_samples,
+            short_vrls=short_vrls,
+            phase_kind=phase_kind,
+            hetero=True, cp_ref=cp_ref, n_cp=n_cp, uv_steps=uv_steps,
+            r_mode=True,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (RAY_TILE, H_RAY_ROWS), lambda i, j, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (H_VRL_ROWS, VRL_TILE), lambda i, j, *_: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 32), lambda i, j, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (cp_pack.shape[0], 128), lambda i, j, *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (2, RAY_TILE, VRL_TILE), lambda i, j, *_: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, b, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(tri_flat, seed, ray_pack, vrl_pack, med_pack, cp_pack)
 
 
 # ---------------------------------------------------------------------------

@@ -145,3 +145,120 @@ def test_cp_fit_quality_gate():
     noise = rs.uniform(0.0, 1.0, (31, 31, 31)).astype(np.float32)
     _, err_noise = cp_mod.fit_density(noise, rank=32, iters=20)
     assert err_noise > integrator.CP_ERR_FALLBACK, err_noise
+
+
+@pytest.fixture()
+def seq_uniforms(monkeypatch):
+    """Deterministic but SAMPLE-VARYING uniforms: each _u01 call during
+    one kernel trace returns the next constant from a 6-cycle (= the
+    draws of a vol_vol=2 / vol_surf=2 trace: vv0.u1, vv0.u2, vv1.u1,
+    vv1.u2, vs0, vs1) so per-pair sample VARIANCE is exercised, unlike
+    the all-0.5 fixture where every sample coincides and var == 0."""
+    vals = [0.3, 0.7, 0.62, 0.41, 0.23, 0.77]
+    counter = {"i": 0}
+
+    def mock(shape):
+        v = vals[counter["i"] % len(vals)]
+        counter["i"] += 1
+        return jnp.full(shape, v, jnp.float32)
+
+    monkeypatch.setattr(vp, "_u01", mock)
+    return vals
+
+
+def _xla_r(scene, ray_o, ray_d, vrls, cfg, vals):
+    """pair_contribution lum mean/var with the seq_uniforms stream."""
+    scene_p = mapi.prepare_scene(scene)
+    hit = integrator.trace_eye_rays(scene_p, ray_o, ray_d)
+    b = ray_o.shape[0]
+    n = vrls.capacity
+    expand = lambda a: a[:, None] if a.ndim == 1 else a[:, None, :]
+    kw = {}
+    if not mapi.is_homogeneous(scene.medium):
+        kw = dict(
+            eye_od=gmed.cumulative_od(
+                scene_p.medium, ray_o, hit.p)[:, None, :],
+            vrl_od=gmed.cumulative_od(
+                scene_p.medium, vrls.start, vrls.end)[None],
+        )
+    u_vv = jnp.zeros((b, n, 2, 2), jnp.float32)
+    u_vv = u_vv.at[..., 0, 0].set(vals[0]).at[..., 0, 1].set(vals[1])
+    u_vv = u_vv.at[..., 1, 0].set(vals[2]).at[..., 1, 1].set(vals[3])
+    u_vs = jnp.zeros((b, n, 2), jnp.float32)
+    u_vs = u_vs.at[..., 0].set(vals[4]).at[..., 1].set(vals[5])
+    _, lum_mean, lum_var = pair_contribution(
+        scene_p, expand(ray_o), expand(ray_d), expand(hit.p),
+        expand(hit.valid), expand(hit.ng), expand(hit.mat),
+        vrls.start[None], vrls.end[None], vrls.power[None],
+        vrls.valid[None], u_vv, u_vs, cfg, **kw)
+    return np.asarray(lum_mean), np.asarray(lum_var)
+
+
+def test_r_mode_matches_build_r_homog(seq_uniforms):
+    """R-mode kernel (vrl_r_pallas) vs the XLA pair_contribution
+    luminance mean/variance at deterministic sample-varying uniforms —
+    validates the transfer-matrix build the clustering consumes
+    (VERDICT r03 item 4: R through the Pallas kernel)."""
+    scene = presets.cornell_smoke(width=12, height=12)
+    scene = scene.replace(medium=scene.medium.replace(g=jnp.float32(0.4)))
+    vrls = tracer.trace(scene, jax.random.key(0), 16)
+    cfg = VRLConfig(vol_vol_samples=2, vol_surf_samples=2)
+    px, py = jnp.meshgrid(jnp.arange(12), jnp.arange(12))
+    ray_o, ray_d = perspective.sample_ray(
+        scene.camera, px.reshape(-1), py.reshape(-1))
+    b = ray_o.shape[0]
+    n = vrls.capacity
+    with pltpu.force_tpu_interpret_mode():
+        out = integrator._build_r_pallas_jit(
+            scene, ray_o, ray_d, vrls,
+            jnp.asarray([1], jnp.int32), cfg)
+    mean_k = np.asarray(out[0, :b, :n])
+    var_k = np.asarray(out[1, :b, :n])
+    mean_x, var_x = _xla_r(scene, ray_o, ray_d, vrls, cfg, seq_uniforms)
+    nz = mean_x > 1e-9
+    assert nz.sum() > 100
+    rel_m = np.abs(mean_k - mean_x)[nz] / mean_x[nz]
+    assert np.median(rel_m) < 1e-5, np.median(rel_m)
+    assert (rel_m > 1e-2).mean() < 0.02
+    # variances must be non-degenerate and agree where the mean does
+    nzv = var_x > 1e-12
+    assert nzv.sum() > 100
+    rel_v = np.abs(var_k - var_x)[nzv] / var_x[nzv]
+    assert np.median(rel_v) < 1e-4, np.median(rel_v)
+
+
+def test_r_mode_matches_build_r_hetero(seq_uniforms):
+    scene = presets.cornell_grid_smoke(width=12, height=12, grid_res=16)
+    vrls = tracer.trace(scene, jax.random.key(0), 16)
+    cfg = VRLConfig(vol_vol_samples=2, vol_surf_samples=2)
+    px, py = jnp.meshgrid(jnp.arange(12), jnp.arange(12))
+    ray_o, ray_d = perspective.sample_ray(
+        scene.camera, px.reshape(-1), py.reshape(-1))
+    b = ray_o.shape[0]
+    n = vrls.capacity
+    from alvrl_tpu.ops import pack as pk
+
+    cp_pack, cp_err = pk.pack_cp(scene.medium, rank=32)
+    assert cp_err < 5e-3
+    with pltpu.force_tpu_interpret_mode():
+        out = integrator._build_r_pallas_hetero_jit(
+            scene, ray_o, ray_d, vrls, cp_pack,
+            jnp.asarray([1], jnp.int32), cfg, 32)
+    mean_k = np.asarray(out[0, :b, :n])
+    var_k = np.asarray(out[1, :b, :n])
+    mean_x, var_x = _xla_r(scene, ray_o, ray_d, vrls, cfg, seq_uniforms)
+    nz = mean_x > 1e-9
+    assert nz.sum() > 100
+    rel_m = np.abs(mean_k - mean_x)[nz] / mean_x[nz]
+    # CP-fit bias budget (same bar as the render-path A/B). Per-pair R
+    # entries are far more tail-sensitive than the vrl-summed image:
+    # TINY entries deviate by several % relative (CP error vs small
+    # absolute values), so the gates are magnitude-aware — a weighted
+    # error plus a >3% outlier bound restricted to the above-median
+    # half that actually drives the clustering's column weights.
+    assert np.median(rel_m) < 2e-3, np.median(rel_m)
+    w_err = np.abs(mean_k - mean_x)[nz].sum() / mean_x[nz].sum()
+    assert w_err < 2e-3, w_err
+    big = nz & (mean_x > np.quantile(mean_x[nz], 0.5))
+    rel_big = np.abs(mean_k - mean_x)[big] / mean_x[big]
+    assert (rel_big > 0.03).mean() < 0.02, (rel_big > 0.03).mean()
