@@ -169,9 +169,11 @@ def eval_smooth(scene: Scene, mat_id, ng, wi_world, wo_world,
         4.0 * jnp.abs(wi_l[..., 2]), 1e-9)
     spec_rc = jnp.where(same_side, spec_rc, 0.0)
     t_i = mf.rough_transmittance_b(
-        mats.rt_table[mat_id], wi_l[..., 2], a_rc)
+        mats.rt_table[mat_id], wi_l[..., 2], a_rc,
+        mats.rt_alpha_max[mat_id])
     t_o = mf.rough_transmittance_b(
-        mats.rt_table[mat_id], wo_l[..., 2], a_rc)
+        mats.rt_table[mat_id], wo_l[..., 2], a_rc,
+        mats.rt_alpha_max[mat_id])
     f_rcoat = (
         leaf(mats.nested[mat_id], wi=wi_p, wo=wo_p)
         * (t_i * t_o * jac)[..., None] * absorb
@@ -287,7 +289,8 @@ def pdf_smooth(scene: Scene, mat_id, ng, wi_world, wo_world, uv=None):
     a_rc = mats.alpha[mat_id]
     dist_rc = mats.dist[mat_id]
     t_i = mf.rough_transmittance_b(
-        mats.rt_table[mat_id], wi_l[..., 2], a_rc)
+        mats.rt_table[mat_id], wi_l[..., 2], a_rc,
+        mats.rt_alpha_max[mat_id])
     prob_spec = jnp.clip(1.0 - t_i, 0.05, 0.95)
     h_rc = m.normalize(wi_l + wo_l)
     h_rc = h_rc * jnp.sign(h_rc[..., 2] + 1e-20)[..., None]
@@ -385,7 +388,8 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
     a_rc0 = mats.alpha[mat_id]
     dist_rc0 = mats.dist[mat_id]
     t_i_rc = mf.rough_transmittance_b(
-        mats.rt_table[mat_id], wi_l[..., 2], a_rc0)
+        mats.rt_table[mat_id], wi_l[..., 2], a_rc0,
+        mats.rt_alpha_max[mat_id])
     prob_spec_rc = jnp.clip(1.0 - t_i_rc, 0.05, 0.95)
     rcoat_refl = is_rcoat & (u_sel < prob_spec_rc)
     rcoat_trans = is_rcoat & ~rcoat_refl
@@ -509,7 +513,8 @@ def sample_from_uniforms(scene: Scene, u, mat_id, ng, ng_raw, d_in,
         * jnp.ones((3,), jnp.float32)
     # transmission: nested weight x T_i/p_t x T_o(exit) x absorption
     t_o_rc = mf.rough_transmittance_b(
-        mats.rt_table[mat_id], wo_exit[..., 2], a_rc0)
+        mats.rt_table[mat_id], wo_exit[..., 2], a_rc0,
+        mats.rt_alpha_max[mat_id])
     w_rcoat_t = weight * (
         t_i_rc / jnp.maximum(1.0 - prob_spec_rc, 1e-6) * t_o_rc
     )[..., None] * absorb_c

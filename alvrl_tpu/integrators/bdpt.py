@@ -18,11 +18,13 @@ libbidir Path records), with remap-zero handling for delta vertices.
 
 Strategy coverage per camera sample: s = 0 (unidirectional hit of an
 area light), s = 1 (next-event estimation), s >= 2 (light subpath
-connections), for every eye prefix t >= 2. The t = 1 family (light
-tracing splatted through the lens) is provided separately by the
-`ptracer` integrator and excluded from the MIS sum here (documented
-deviation: each family stays unbiased for the paths it covers; t=1
-strategies are simply not mixed in).
+connections), for every eye prefix t >= 1. The light-tracing family
+(light subpath splatted through the lens) is by default provided
+separately by the `ptracer` integrator and excluded from the MIS sum;
+with BDPTConfig.with_light_tracing the eye-pass weights include the
+light-tracing alternative and `render_bdpt_lt` adds the splat pass
+with the complementary MIS weights — the full Veach mix (round 4,
+VERDICT r03 item 10).
 """
 
 from __future__ import annotations
@@ -48,6 +50,16 @@ class BDPTConfig:
     n_eye: int = struct.field(pytree_node=False, default=4)    # surface vertices
     n_light: int = struct.field(pytree_node=False, default=4)  # incl. the light vertex
     ray_tile: int = struct.field(pytree_node=False, default=1024)
+    # Fold the light-tracing family (light subpath splatted through the
+    # lens; Veach t'=0 in this file's surface-vertex numbering) into the
+    # MIS mix: the eye pass's weights then include the light-tracing
+    # alternative in their denominators, and render_bdpt_lt adds the
+    # splat pass carrying the complementary weights (VERDICT r03 item
+    # 10; reference: the camera-connection strategies of
+    # src/libbidir/pathsampler.cpp / vertex.cpp). Default False keeps
+    # the round-3 behavior (families split between bdpt and ptracer).
+    with_light_tracing: bool = struct.field(pytree_node=False,
+                                            default=False)
 
 
 def _area_pdf(pdf_sa, d_vec, ng_to):
@@ -238,8 +250,25 @@ def _visible_tau(scene, a, b):
     return eval_transmittance_between(scene, a, b)
 
 
+def _camera_rev_area_pdf(scene, x, ng):
+    """Area pdf at x of the camera generating it through a pixel — the
+    per-pixel-area convention the ptracer importance uses (validated
+    against volpath), so light-tracing and eye strategies share a
+    consistent measure in the MIS ratios."""
+    cam = scene.camera
+    cam_pos = cam.to_world[:3, 3]
+    fwd = cam.to_world[:3, 2]
+    dvec = x - cam_pos
+    r2 = jnp.maximum(m.length_sq(dvec), 1e-12)
+    dirn = dvec * jax.lax.rsqrt(r2)[..., None]
+    cos_t = jnp.maximum(m.dot(dirn, fwd), 1e-6)
+    d_img = cam.width / (2.0 * jnp.tan(jnp.deg2rad(cam.fov_x_deg) * 0.5))
+    pdf_sa = (d_img * d_img) / (cos_t ** 3)
+    return _area_pdf(pdf_sa, dvec, ng)
+
+
 def _mis_weight(scene, ls, lv, ev, s, t, pt_rev, ptm_rev, qs_rev, qsm_rev,
-                n_eye, n_light):
+                n_eye, n_light, cam_rev_pdf=None):
     """1 / (1 + sum of pdf ratios over alternative strategies).
 
     Vertex indexing: eye surface vertices ev[0..t-1] (x1..xt in Veach
@@ -271,6 +300,14 @@ def _mis_weight(scene, ls, lv, ev, s, t, pt_rev, ptm_rev, qs_rev, qsm_rev,
         ri = ri * _remap0(eye_rev(i)) / _remap0(ev["pdf_fwd"][i])
         ok = ~eye_delta(i) & ~eye_delta(i - 1)
         sum_ri = sum_ri + jnp.where(ok, ri, 0.0)
+    if cam_rev_pdf is not None and t >= 1:
+        # the light-tracing alternative (t'=0): the light path absorbs
+        # x1 too and splats through the lens. x1's eye-side pdf is the
+        # camera's (pdf_fwd[0] stores 1, the "shared segment cancels"
+        # convention, so divide explicitly); the pinhole lens is
+        # treated as non-delta for this family (PBRT convention).
+        ri = ri * _remap0(eye_rev(0)) / _remap0(cam_rev_pdf)
+        sum_ri = sum_ri + jnp.where(~eye_delta(0), ri, 0.0)
 
     # ---- light side ----
     def light_delta(j):
@@ -359,6 +396,9 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
     em = scene.emitters
 
     total = jnp.zeros((3,))
+    cam_rev = None
+    if cfg.with_light_tracing:
+        cam_rev = _camera_rev_area_pdf(scene, ev["p"][0], ev["ng"][0])
 
     for t in range(1, cfg.n_eye + 1):
         xt = ev["p"][t - 1]
@@ -390,7 +430,8 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
             ptm_rev = _area_pdf(cos_l / jnp.pi, d_prev,
                                 ev["ng"][t - 2])
             w_s0 = _mis_weight(scene, ls, lv, ev, 0, t, pt_rev, ptm_rev,
-                               0.0, 0.0, cfg.n_eye, cfg.n_light)
+                               0.0, 0.0, cfg.n_eye, cfg.n_light,
+                               cam_rev_pdf=cam_rev)
         if t >= 2:
             total = total + jnp.where(hit_light[..., None],
                                       w_s0 * l_s0, 0.0)
@@ -431,7 +472,8 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
             dvec, ls["ng0"],
         )
         w_s1 = _mis_weight(scene, ls, lv, ev, 1, t, pt_rev_s1, ptm_rev_s1,
-                           qs_rev_s1, 0.0, cfg.n_eye, cfg.n_light)
+                           qs_rev_s1, 0.0, cfg.n_eye, cfg.n_light,
+                           cam_rev_pdf=cam_rev)
         ok_s1 = ok_t & ls["valid"] & ~ev["delta"][t - 1]
         total = total + jnp.where(ok_s1[..., None], w_s1 * l_s1, 0.0)
 
@@ -476,7 +518,8 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
                 d_prev_l, _light_ng(ls, lv, s - 2),
             )
             w_st = _mis_weight(scene, ls, lv, ev, s, t, pt_rev, ptm_rev,
-                               qs_rev, qsm_rev, cfg.n_eye, cfg.n_light)
+                               qs_rev, qsm_rev, cfg.n_eye, cfg.n_light,
+                               cam_rev_pdf=cam_rev)
             ok_st = (ok_t & ok_s & ~ev["delta"][t - 1]
                      & ~lv["delta"][s - 2])
             total = total + jnp.where(ok_st[..., None], w_st * l_st, 0.0)
@@ -522,3 +565,79 @@ def render_bdpt(scene: Scene, key, spp: int = 8,
     li = jax.lax.map(one_spp, jnp.arange(spp)).mean(axis=0)
     img, wgt = film_mod.splat_box(w, h, px, py, li)
     return film_mod.develop(img, wgt)
+
+
+# ---------------------------------------------------------------------------
+# Light-tracing pass (the t'=0 splat family) with MIS weights — folded
+# into the full estimator by render_bdpt_lt.
+# ---------------------------------------------------------------------------
+
+
+def _lt_splat_one(scene: Scene, key, cfg: BDPTConfig):
+    """One light subpath; returns per-strategy splat records
+    (pixel x/y, MIS-weighted value, on-screen mask) for s = 2..n_light.
+    s = 1 (the light itself directly visible) stays with the eye
+    pass's unweighted t=1/s=0 strategy (both families cover that
+    2-vertex path; exactly one is rendered)."""
+    from alvrl_tpu.integrators.ptracer import _camera_splat_value
+
+    ls, lv = _light_subpath(scene, key, cfg.n_light)
+    cam_pos = scene.camera.to_world[:3, 3]
+    xs, ys_, vals, oks = [], [], [], []
+    for s in range(2, cfg.n_light + 1):
+        y = lv["p"][s - 2]
+        ng_s = lv["ng"][s - 2]
+        mat_s = lv["mat"][s - 2]
+        beta_s = lv["beta"][s - 2]
+        wi_s = lv["wi"][s - 2]
+        ok_s = lv["valid"][s - 2] & ~lv["delta"][s - 2] & ls["valid"]
+        dc = m.normalize(cam_pos - y)
+        f = bsdf_api.eval_smooth(scene, mat_s, ng_s, wi_s, dc, p_world=y)
+        x_pix, y_pix, value, on = _camera_splat_value(
+            scene, y, f * beta_s)
+        # MIS: alternatives re-generate this path with the eye side
+        # absorbing y_{s-1} (camera pdf) and y_{s-2} (BSDF pdf at
+        # y_{s-1} with the camera direction incoming)
+        qs_rev = _camera_rev_area_pdf(scene, y, ng_s)
+        d_prev = lv["prev_p"][s - 2] - y
+        qsm_rev = _area_pdf(
+            bsdf_api.pdf_smooth(scene, mat_s, ng_s, dc,
+                                m.normalize(d_prev)),
+            d_prev, _light_ng(ls, lv, s - 2),
+        )
+        w = _mis_weight(scene, ls, lv, None, s, 0, 0.0, 0.0,
+                        qs_rev, qsm_rev, cfg.n_eye, cfg.n_light)
+        xs.append(x_pix)
+        ys_.append(y_pix)
+        vals.append(w * value)
+        oks.append(ok_s & on)
+    return (jnp.stack(xs), jnp.stack(ys_), jnp.stack(vals),
+            jnp.stack(oks))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "num_particles"))
+def render_bdpt_lt(scene: Scene, key, spp: int = 8,
+                   cfg: BDPTConfig = BDPTConfig(),
+                   num_particles: int = None):
+    """Full BDPT including the light-tracing family: the eye pass with
+    with_light_tracing MIS weights plus the lens-splat pass with the
+    complementary weights (normalized per particle, the ptracer
+    convention validated against volpath)."""
+    cfg_lt = cfg.replace(with_light_tracing=True)
+    cam = scene.camera
+    w, h = cam.width, cam.height
+    if num_particles is None:
+        num_particles = w * h * spp // 2
+    k_eye, k_lt = jax.random.split(key)
+    img_eye = render_bdpt(scene, k_eye, spp, cfg_lt)
+
+    keys = jax.random.split(k_lt, num_particles)
+    xs, ys_, vals, oks = jax.vmap(
+        lambda k: _lt_splat_one(scene, k, cfg_lt))(keys)
+    px = jnp.clip(xs.reshape(-1).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip(ys_.reshape(-1).astype(jnp.int32), 0, h - 1)
+    v = vals.reshape(-1, 3)
+    ok = oks.reshape(-1)
+    img_lt = jnp.zeros((h, w, 3))
+    img_lt = img_lt.at[py, px].add(jnp.where(ok[..., None], v, 0.0))
+    return img_eye + img_lt / num_particles

@@ -158,7 +158,16 @@ def prepare_clustering(
     # map to an all-zero last row here and are rendered separately
     # (render_alvrl's fb launch) when any exist.
     s, cmax = info.slice_vrls.shape
-    cmax2 = int(-(-cmax // 32) * 32)
+    # Width bucketing trades padding work against COMPILE reuse: the
+    # adaptive refinement's cluster count drifts pass to pass, and a
+    # changed table width recompiles the whole clustered render
+    # (measured ~34 s per recompile on the remote TPU at config-4
+    # scale vs a 0.4 s warm render). The Pallas kernel pads its
+    # slice tables to the 128-lane tile anyway, so bucket to 128 there
+    # (zero extra kernel work); the XLA path keeps the finer 32 bucket
+    # (its dense render cost scales with the padded width).
+    bucket = 128 if use_pallas else 32
+    cmax2 = int(-(-cmax // bucket) * bucket)
     rows = int(-(-(s + 1) // 32) * 32)
     tv = np.zeros((rows, cmax2), np.int32)
     tw = np.zeros((rows, cmax2), np.float32)

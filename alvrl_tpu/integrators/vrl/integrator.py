@@ -361,10 +361,11 @@ def render_clustered_pallas(
         )
 
     cmax = int(table_vrls.shape[1])
-    if cmax > vp.VRL_TILE:
-        return render_clustered(
-            scene, vrls, slice_of_pixel, table_vrls, table_weights, key, cfg
-        )
+    # tables wider than one 128-lane tile run as ceil(cmax/128) chunked
+    # kernel launches whose outputs sum (representative contributions
+    # are additive) — adaptive refinement routinely widens past 128 at
+    # large VRL counts and the old whole-pass XLA fallback cost ~20x
+    cmax2 = -(-cmax // vp.VRL_TILE) * vp.VRL_TILE
 
     cam = scene.camera
     w, h = cam.width, cam.height
@@ -406,10 +407,10 @@ def render_clustered_pallas(
     tv = jnp.asarray(table_vrls)
     tw = jnp.asarray(table_weights)
     s_rows = tv.shape[0]
-    pad_c = vp.VRL_TILE - cmax
+    pad_c = cmax2 - cmax
     idx = tv  # (S, Cmax)
     valid = vrls.valid[idx] & (tw > 0)
-    tables = jnp.zeros((s_rows, vp.VRL_ROWS, vp.VRL_TILE), jnp.float32)
+    tables = jnp.zeros((s_rows, vp.VRL_ROWS, cmax2), jnp.float32)
     def put(rowbase, arr):  # arr (S, Cmax, 3)
         nonlocal tables
         a = jnp.pad(arr, ((0, 0), (0, pad_c), (0, 0)))
@@ -427,13 +428,17 @@ def render_clustered_pallas(
     med_pack = pk.pack_medium(scene)
     seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
 
-    out = vp.vrl_sum_pallas_clustered(
-        ray_pack_p, tables, tile_slice, tri_flat, med_pack, seed,
-        vol_vol_samples=cfg.vol_vol_samples,
-        vol_surf_samples=cfg.vol_surf_samples,
-        short_vrls=cfg.short_vrls,
-        phase_kind=scene.medium.phase_kind,
-    )
+    out = 0.0
+    for j in range(cmax2 // vp.VRL_TILE):
+        out = out + vp.vrl_sum_pallas_clustered(
+            ray_pack_p,
+            tables[:, :, j * vp.VRL_TILE:(j + 1) * vp.VRL_TILE],
+            tile_slice, tri_flat, med_pack, seed + 7919 * j,
+            vol_vol_samples=cfg.vol_vol_samples,
+            vol_surf_samples=cfg.vol_surf_samples,
+            short_vrls=cfg.short_vrls,
+            phase_kind=scene.medium.phase_kind,
+        )
     li_perm = out.T  # (B_padded, 3)
     # scatter back to pixel order
     li = jnp.zeros((n, 3), jnp.float32)
@@ -475,7 +480,8 @@ def _hetero_tables(scene: Scene, vrls: VRLs, table_vrls, table_weights,
     s_rows = tv.shape[0]
     idx = tv
     valid = vrls.valid[idx] & (tw > 0)
-    tables = jnp.zeros((s_rows, vp.H_VRL_ROWS, vp.VRL_TILE), jnp.float32)
+    width = tv.shape[1] + pad_c   # a 128 multiple (chunked launches)
+    tables = jnp.zeros((s_rows, vp.H_VRL_ROWS, width), jnp.float32)
 
     def put(rowbase, arr):
         nonlocal tables
@@ -514,10 +520,9 @@ def render_clustered_pallas_hetero(
     from alvrl_tpu.ops import vrl_pallas as vp
 
     cmax = int(table_vrls.shape[1])
-    if cmax > vp.VRL_TILE:
-        return render_clustered(
-            scene, vrls, slice_of_pixel, table_vrls, table_weights, key, cfg
-        )
+    # wide tables (cmax > 128) run as chunked kernel launches, as in
+    # the homogeneous path
+    cmax2 = -(-cmax // vp.VRL_TILE) * vp.VRL_TILE
     cp_pack, cp_err = pk.pack_cp(scene.medium, rank=cp_rank)
     if cp_err > CP_ERR_FALLBACK:
         from alvrl_tpu.core.logging import get_logger
@@ -563,21 +568,25 @@ def render_clustered_pallas_hetero(
     ray_pack_p = jnp.where(dummy[:, None], 0.0, ray_pack[perm_j])
 
     tables = _hetero_tables(scene, vrls, table_vrls, table_weights,
-                            vp.VRL_TILE - cmax)
+                            cmax2 - cmax)
 
     tri_flat = pk.pack_tris(scene)
     med_pack = pk.pack_medium_hetero(scene.medium)
     seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
 
-    out = vp.vrl_sum_pallas_hetero_clustered(
-        ray_pack_p, tables, tile_slice, tri_flat, med_pack, cp_pack, seed,
-        n_cp=cp_rank,
-        vol_vol_samples=cfg.vol_vol_samples,
-        vol_surf_samples=cfg.vol_surf_samples,
-        short_vrls=cfg.short_vrls,
-        phase_kind=scene.medium.phase_kind,
-        uv_steps=cfg.uv_tau_steps,
-    )
+    out = 0.0
+    for j in range(cmax2 // vp.VRL_TILE):
+        out = out + vp.vrl_sum_pallas_hetero_clustered(
+            ray_pack_p,
+            tables[:, :, j * vp.VRL_TILE:(j + 1) * vp.VRL_TILE],
+            tile_slice, tri_flat, med_pack, cp_pack, seed + 7919 * j,
+            n_cp=cp_rank,
+            vol_vol_samples=cfg.vol_vol_samples,
+            vol_surf_samples=cfg.vol_surf_samples,
+            short_vrls=cfg.short_vrls,
+            phase_kind=scene.medium.phase_kind,
+            uv_steps=cfg.uv_tau_steps,
+        )
     li_perm = out.T
     li = jnp.zeros((n, 3), jnp.float32)
     li = li.at[perm_j].add(jnp.where(dummy[:, None], 0.0, li_perm))

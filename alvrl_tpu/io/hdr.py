@@ -129,13 +129,25 @@ def read_hdr(path):
             for c in range(4):
                 x = 0
                 while x < w:
+                    # bounds-check the stream: a corrupt file must not
+                    # loop forever (count byte 0) or read/write past
+                    # the scanline / buffer (ADVICE r03 item 4)
+                    if pos >= len(data):
+                        raise ValueError("truncated RLE scanline")
                     n = data[pos]
                     pos += 1
+                    if n == 0:
+                        raise ValueError("corrupt RLE scanline: zero count")
                     if n > 128:  # run
-                        rgbe[y, x:x + n - 128, c] = data[pos]
+                        count = n - 128
+                        if x + count > w or pos >= len(data):
+                            raise ValueError("corrupt RLE run")
+                        rgbe[y, x:x + count, c] = data[pos]
                         pos += 1
-                        x += n - 128
+                        x += count
                     else:        # literal
+                        if x + n > w or pos + n > len(data):
+                            raise ValueError("corrupt RLE literal")
                         rgbe[y, x:x + n, c] = buf[pos:pos + n]
                         pos += n
                         x += n

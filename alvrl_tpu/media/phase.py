@@ -284,9 +284,12 @@ def sample_kkay(pp: PhaseParams, orientation, wi, u2):
 
 def mixture_params(weights, kinds, gs) -> PhaseParams:
     """Build mixture params. Weights must be non-negative; they are
-    rescaled to sum to one when they exceed it (energy conservation,
-    mixturephase.cpp:93-113) and renormalized into the component-
-    selection pmf either way."""
+    rescaled to sum to one ONLY when they exceed it (energy
+    conservation, mixturephase.cpp:100-110) — a sum s < 1 is a valid,
+    energy-ABSORBING mixture whose eval uses the raw weights (the
+    reference evaluates with m_weights, not the selection pmf;
+    mixturephase.cpp:119-126). The component-selection pmf is derived
+    from the stored weights at sample/pdf time."""
     w = np.asarray(weights, np.float64).reshape(-1)
     if w.size == 0 or (w < 0).any() or w.sum() <= 0:
         raise ValueError("mixture weights must be non-negative and sum > 0")
@@ -299,7 +302,7 @@ def mixture_params(weights, kinds, gs) -> PhaseParams:
     if not np.isin(k, [HG, RAYLEIGH]).all():
         raise ValueError("mixture components must be HG or Rayleigh kinds")
     return PhaseParams(
-        mix_w=jnp.asarray(w / w.sum(), jnp.float32),
+        mix_w=jnp.asarray(w, jnp.float32),
         mix_kind=jnp.asarray(k),
         mix_g=jnp.asarray(g, jnp.float32),
     )
@@ -321,18 +324,22 @@ def eval_mixture(pp: PhaseParams, wi, wo):
 
 
 def pdf_mixture(pp: PhaseParams, wi, wo):
-    """Selection-weighted pdf: every component importance-samples its
-    own lobe exactly, so pdf_i == eval_i and the mixture pdf equals the
-    mixture value (mixturephase.cpp:pdf)."""
-    return eval_mixture(pp, wi, wo)
+    """Selection-pmf-weighted pdf (mixturephase.cpp:128-134): every
+    component importance-samples its own lobe exactly (pdf_i ==
+    eval_i), so pdf = sum_i (w_i / s) eval_i = eval / s with
+    s = sum(w). For s == 1 this reduces to eval == pdf."""
+    s = jnp.sum(pp.mix_w)
+    return eval_mixture(pp, wi, wo) / jnp.maximum(s, 1e-12)
 
 
 def sample_mixture(pp: PhaseParams, wi, u2):
-    """Pick a component ~ weights (reusing/rescaling u2[...,0], the
-    standard one-uniform trick), sample its lobe, and weight by
-    eval/pdf of the full mixture (mixturephase.cpp:sample). Since each
-    component samples itself perfectly, eval == pdf and the weight is
-    exactly 1."""
+    """Pick a component ~ the selection pmf (reusing/rescaling
+    u2[...,0], the standard one-uniform trick), sample its lobe, and
+    weight by eval/pdf of the full mixture (mixturephase.cpp:137-157).
+    Each component samples itself perfectly, so eval/pdf = s = sum(w):
+    an energy-absorbing mixture (s < 1) returns weight s, not 1
+    (ADVICE r03 item 2 — weights are stored raw, rescaled only when
+    s > 1)."""
     u0, u1 = u2[..., 0], u2[..., 1]
     cdf = jnp.cumsum(pp.mix_w)
     j = jnp.clip(jnp.searchsorted(cdf, u0 * cdf[-1], side="right"),
@@ -345,7 +352,8 @@ def sample_mixture(pp: PhaseParams, wi, u2):
     wo_ray, _, _ = sample_rayleigh(wi, u2r)
     wo = jnp.where((pp.mix_kind[j] == RAYLEIGH)[..., None], wo_ray, wo_hg)
     pdf = pdf_mixture(pp, wi, wo)
-    return wo, jnp.ones_like(pdf), pdf
+    s = jnp.sum(pp.mix_w)
+    return wo, jnp.full_like(pdf, s), pdf
 
 
 def _np_erf(x):

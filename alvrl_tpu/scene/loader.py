@@ -179,10 +179,9 @@ def build_scene(desc: dict) -> Scene:
                 from alvrl_tpu.io import image as img_io
 
                 fn = tdesc["filename"]
-                img = np.asarray(
-                    img_io.read_npy(fn) if fn.endswith(".npy")
-                    else img_io.read_pfm(fn), np.float32,
-                )
+                # extension dispatch incl. PNG/JPEG decode (LDR
+                # bitmap textures load end-to-end since round 4)
+                img = np.asarray(img_io.read_image(fn), np.float32)
                 if img.ndim == 2:
                     img = img[..., None].repeat(3, axis=-1)
                 tex_ids.append(len(bitmap_imgs))
@@ -388,8 +387,7 @@ def build_scene(desc: dict) -> Scene:
                 from alvrl_tpu.io import image as img_io
 
                 fn = e["filename"]
-                img = (img_io.read_npy(fn) if fn.endswith(".npy")
-                       else img_io.read_pfm(fn))
+                img = img_io.read_image(fn)
                 env = make_envmap(img, scale=e.get("scale", 1.0),
                                   azimuth_deg=e.get("azimuth", 0.0))
             else:

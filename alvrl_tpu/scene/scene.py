@@ -79,6 +79,11 @@ class Materials:
                                 # (ROUGH_COATING; zeros otherwise) —
                                 # counterpart of the reference's
                                 # data/microfacet tables + rdielprec
+    rt_alpha_max: jax.Array = None  # (M,) the alpha span each table was
+                                    # built over: max(0.5, material
+                                    # alpha), so alpha > 0.5 coatings
+                                    # interpolate instead of clamping to
+                                    # the 0.5 row (ADVICE r03 item 3)
 
 
 def make_materials(kinds, albedos, etas=None, alphas=None,
@@ -120,15 +125,22 @@ def make_materials(kinds, albedos, etas=None, alphas=None,
             tex_id if tex_id is not None else [0] * n, jnp.int32),
         dist=jnp.asarray(
             dist if dist is not None else [1] * n, jnp.int32),  # MF_GGX
-        rt_table=_rt_tables(kinds, etas, alphas, dist, n),
+        rt_table=_rt_tables(kinds, etas, alphas, dist, n)[0],
+        rt_alpha_max=_rt_tables(kinds, etas, alphas, dist, n)[1],
     )
 
 
 def _rt_tables(kinds, etas, alphas, dist, n):
     """Host-side rough-transmittance tables for ROUGH_COATING entries
-    (zeros elsewhere) — computed once at scene build."""
+    (zeros elsewhere) — computed once at scene build (and memoized per
+    (eta, dist, alpha_max), so the duplicate call in make_materials is
+    free). Each table spans alpha in (0, max(0.5, material alpha)] so
+    rougher-than-0.5 coatings interpolate within range instead of
+    silently clamping to the last row (ADVICE r03 item 3); the span is
+    returned per material for the lookup normalization."""
     kinds_np = np.asarray(kinds).reshape(-1)
     out = np.zeros((n, 16, 8), np.float32)
+    amax = np.full((n,), 0.5, np.float32)
     if (kinds_np == ROUGH_COATING).any():
         from alvrl_tpu.bsdf import microfacet as _mf
 
@@ -136,10 +148,14 @@ def _rt_tables(kinds, etas, alphas, dist, n):
             etas if etas is not None else [1.0] * n, np.float32)
         dist_np = np.asarray(
             dist if dist is not None else [1] * n, np.int32)
+        alphas_np = np.asarray(
+            alphas if alphas is not None else [0.1] * n, np.float32)
         for i in np.flatnonzero(kinds_np == ROUGH_COATING):
+            amax[i] = max(0.5, float(alphas_np[i]))
             out[i] = np.asarray(_mf.rough_transmittance_table(
-                float(etas_np[i]), int(dist_np[i])))
-    return jnp.asarray(out)
+                float(etas_np[i]), int(dist_np[i]),
+                alpha_max=float(amax[i])))
+    return jnp.asarray(out), jnp.asarray(amax)
 
 
 # sensor kinds (src/sensors/)

@@ -33,25 +33,28 @@ def test_vrl_matches_oracle():
         imgs.append(np.asarray(img))
     vrl_img = np.mean(imgs, axis=0)
 
-    # TWO independent oracle runs: their disagreement measures the
-    # oracle's own noise, and the A/B asserts against THAT instead of
-    # fixed bands (VERDICT round-2 item 8 — variance-aware A/B)
+    # THREE independent oracle runs: the sample std of their means
+    # measures the oracle's own noise, and the A/B asserts against THAT
+    # instead of fixed bands (VERDICT round-2 item 8 — variance-aware
+    # A/B; ADVICE r03 item 5: a single |m1-m2| difference is itself a
+    # one-sample noise estimate and made the 4-sigma gate flaky)
     o_runs = [
         np.asarray(volpath.render_volpath(
             scene, jax.random.key(100 + i), spp=1024,
             cfg=volpath.VolpathConfig(max_depth=16), ray_tile=64,
         ))
-        for i in range(2)
+        for i in range(3)
     ]
     o_img = np.mean(o_runs, axis=0)
 
     assert np.isfinite(vrl_img).all() and np.isfinite(o_img).all()
-    # oracle self-noise of the image MEAN: |m1-m2| estimates
-    # sqrt(2)*sigma_mean of one run; the averaged oracle has
-    # sigma_mean/sqrt(2); the 6-run VRL mean adds its own term of
+    # oracle self-noise of the image MEAN: sample std over the run
+    # means estimates sigma_mean of ONE run; the 3-run average has
+    # sigma_mean/sqrt(3); the 6-run VRL mean adds its own term of
     # similar scale — allow 4 sigma with a small absolute floor
-    m1, m2 = o_runs[0].mean(), o_runs[1].mean()
-    sigma_mean = max(abs(m1 - m2) / 2.0, 0.01 * o_img.mean())
+    run_means = [r.mean() for r in o_runs]
+    sigma_mean = max(float(np.std(run_means, ddof=1)),
+                     0.01 * o_img.mean())
     z = abs(vrl_img.mean() - o_img.mean()) / sigma_mean
     assert z < 4.0, (z, vrl_img.mean(), o_img.mean(), sigma_mean)
     # per-pixel agreement within the oracle's own per-pixel noise

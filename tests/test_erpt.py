@@ -19,14 +19,21 @@ def test_erpt_matches_volpath_mean():
         for i in range(3)
     ]
     img = np.mean(imgs, axis=0)
-    ref = np.asarray(volpath.render_volpath(
-        scene, jax.random.key(7), spp=128,
-        cfg=volpath.VolpathConfig(max_depth=6, only_vrl_paths=False),
-        ray_tile=144,
-    ))
+    refs = [
+        np.asarray(volpath.render_volpath(
+            scene, jax.random.key(7 + i), spp=64,
+            cfg=volpath.VolpathConfig(max_depth=6, only_vrl_paths=False),
+            ray_tile=144,
+        ))
+        for i in range(3)
+    ]
+    ref = np.mean(refs, axis=0)
     assert np.isfinite(img).all()
-    ratio = img.mean() / ref.mean()
-    assert 0.8 < ratio < 1.25, ratio
+    # variance-aware gate (VERDICT r03 item 6) replaces the 25% band
+    from tests.ab_utils import assert_means_agree
+
+    assert_means_agree(imgs, refs, z_max=4.0, floor_frac=0.03,
+                       label="erpt-vs-volpath")
     # structure: bright/dark pattern must correlate, not just the mean
     c = np.corrcoef(img.mean(-1).ravel(), ref.mean(-1).ravel())[0, 1]
     assert c > 0.5, c

@@ -40,22 +40,32 @@ def test_li_from_uniforms_deterministic():
 def test_pssmlt_matches_volpath_mean():
     """The Metropolis estimate must agree with the plain path tracer on
     the image mean (both estimate the same integral)."""
+    from tests.ab_utils import assert_means_agree
+
     scene = presets.cornell_smoke(width=8, height=8)
     cfg = pssmlt.PSSMLTConfig(max_depth=6, n_chains=128, n_mutations=192)
-    img_mlt = np.asarray(pssmlt.render_pssmlt(scene, jax.random.key(1),
-                                              cfg))
+    runs_mlt = [
+        np.asarray(pssmlt.render_pssmlt(scene, jax.random.key(1 + i),
+                                        cfg))
+        for i in range(3)
+    ]
+    img_mlt = np.mean(runs_mlt, axis=0)
     assert np.isfinite(img_mlt).all()
-    img_ref = np.asarray(volpath.render_volpath(
-        scene, jax.random.key(2), spp=48,
-        cfg=volpath.VolpathConfig(max_depth=6, only_vrl_paths=False),
-        ray_tile=64,
-    ))
-    mean_mlt = img_mlt.mean()
-    mean_ref = img_ref.mean()
-    assert mean_mlt > 0
-    # Metropolis normalization b carries most of the mean: tolerate
-    # combined chain + reference noise
-    assert abs(mean_mlt - mean_ref) / mean_ref < 0.25, (mean_mlt, mean_ref)
+    runs_ref = [
+        np.asarray(volpath.render_volpath(
+            scene, jax.random.key(20 + i), spp=48,
+            cfg=volpath.VolpathConfig(max_depth=6, only_vrl_paths=False),
+            ray_tile=64,
+        ))
+        for i in range(3)
+    ]
+    img_ref = np.mean(runs_ref, axis=0)
+    assert img_mlt.mean() > 0
+    # variance-aware gate (VERDICT r03 item 6): the Metropolis
+    # normalization b carries most of the mean; measure both sides'
+    # self-noise instead of a fixed 25% band
+    assert_means_agree(runs_mlt, runs_ref, z_max=4.0, floor_frac=0.03,
+                       label="pssmlt-vs-volpath")
     # spatial correlation: bright/dark structure should agree
     a = img_mlt.mean(axis=-1).reshape(-1)
     b = img_ref.mean(axis=-1).reshape(-1)

@@ -78,6 +78,31 @@ def test_mixture_weight_rescale():
     np.testing.assert_allclose(np.asarray(pp.mix_w), [0.5, 0.5], atol=1e-6)
 
 
+def test_mixture_absorbing_weights():
+    """ADVICE r03 item 2: a mixture with weights summing to s < 1 is a
+    valid ENERGY-ABSORBING phase — the reference keeps the raw weights
+    for eval (mixturephase.cpp:119-126, rescale only when s > 1), so
+    the lobe integrates to s, sample() returns weight s (eval/pdf),
+    and the sampling pdf still integrates to 1."""
+    pp = ph.mixture_params([0.3, 0.3], [ph.HG, ph.RAYLEIGH], [0.5, 0.0])
+    s = 0.6
+    np.testing.assert_allclose(np.asarray(pp.mix_w), [0.3, 0.3],
+                               atol=1e-6)
+    wi = jnp.array([0.0, 0.0, 1.0])
+    n = 200_000
+    u = rng.uniform2(jax.random.key(2), (n,))
+    from alvrl_tpu.core import warp
+
+    wo = warp.square_to_uniform_sphere(u)
+    ev = np.asarray(ph.eval_mixture(pp, wi, wo)).mean() * 4.0 * np.pi
+    assert abs(ev - s) < 0.01, ev
+    pdf_int = np.asarray(ph.pdf_mixture(pp, wi, wo)).mean() * 4.0 * np.pi
+    assert abs(pdf_int - 1.0) < 0.02, pdf_int
+    _, w_s, _ = ph.sample_mixture(pp, wi, rng.uniform2(
+        jax.random.key(3), (64,)))
+    np.testing.assert_allclose(np.asarray(w_s), s, atol=1e-5)
+
+
 def test_mixture_dispatch():
     pp = _mix()
     wi = jnp.array([0.0, 0.0, 1.0])
