@@ -284,6 +284,14 @@ def build_scene(desc: dict) -> Scene:
                 face_uv = vuv[np.asarray(f)]
             if tw is not None:
                 v = shp.apply_transform(tw, v)
+        elif st == "trimesh":
+            # inline triangle mesh (vertex/face lists in the dict) —
+            # the converter target for formats without a native loader
+            # (COLLADA import, scene/collada.py)
+            v = np.asarray(sdesc["vertices"], np.float32).reshape(-1, 3)
+            f = np.asarray(sdesc["faces"], np.int32).reshape(-1, 3)
+            if tw is not None:
+                v = shp.apply_transform(tw, v)
         elif st == "disk":
             v, f = shp.disk(n_phi=sdesc.get("n_phi", 48), to_world=tw)
         elif st == "cylinder":
