@@ -1167,39 +1167,49 @@ K_CLUSTER = 64               # triangles per cluster block
 _CL_ROWS, _CL_COLS = 8, 128
 
 
+N_RAY_GROUPS = 8  # per-segment-group culling granularity (16-ray rows)
+
+
 def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
     """Occlusion builder for the two-level kernel (see _kernel).
 
+    Round-4 phase 2 (VERDICT r03 item 5):
+    * blocked masks accumulate in LOOP-CARRY REGISTERS instead of the
+      blocked_scr VMEM scratch — the round-2 version paid a VMEM
+      read-modify-write per (triangle x segment), which dominated the
+      24x loss to the chunked XLA sweep at 4k triangles;
+    * per-segment-GROUP culling: the ray tile splits into N_RAY_GROUPS
+      sublane groups with their own segment AABBs; a cluster runs only
+      if it overlaps ANY group box — strictly tighter than the old
+      whole-tile union (clusters sitting in the gaps between ray
+      groups are now culled).
     Double-buffered: every cluster's block is DMA'd UNCONDITIONALLY
     into the 2-deep scratch while the previous cluster is processed
     (the copies are cheap — ~4 KB each; the expensive Wald sweep stays
-    conditional on the AABB overlap), so DMA latency never serializes
+    conditional on the overlap), so DMA latency never serializes
     against compute."""
 
     def fn(segments, pre, shape):
         n_seg = len(segments)
-        # union AABB of all sample segments in this tile (segment is
-        # contained in AABB(p, q); union over lanes and segments)
-        los = []
-        his = []
+        rows_per = shape[0] // N_RAY_GROUPS
+        # per-ray-group AABBs over all sample segments (a segment is
+        # contained in AABB(p, q); reduce per sublane group)
+        glos = [[None] * 3 for _ in range(N_RAY_GROUPS)]
+        ghis = [[None] * 3 for _ in range(N_RAY_GROUPS)]
         for ax in range(3):
-            seg_lo = [jnp.min(jnp.minimum(p[ax], q[ax]))
-                      for (p, q) in segments]
-            seg_hi = [jnp.max(jnp.maximum(p[ax], q[ax]))
-                      for (p, q) in segments]
-            lo = seg_lo[0]
-            hi = seg_hi[0]
-            for s in seg_lo[1:]:
-                lo = jnp.minimum(lo, s)
-            for s in seg_hi[1:]:
-                hi = jnp.maximum(hi, s)
-            los.append(lo)
-            his.append(hi)
+            per_lo = None
+            per_hi = None
+            for (p, q) in segments:
+                lo = jnp.minimum(p[ax], q[ax])
+                hi = jnp.maximum(p[ax], q[ax])
+                per_lo = lo if per_lo is None else jnp.minimum(per_lo, lo)
+                per_hi = hi if per_hi is None else jnp.maximum(per_hi, hi)
+            for gi in range(N_RAY_GROUPS):
+                sl = slice(gi * rows_per, (gi + 1) * rows_per)
+                glos[gi][ax] = jnp.min(per_lo[sl])
+                ghis[gi][ax] = jnp.max(per_hi[sl])
 
-        for k in range(n_seg):
-            blocked_scr[k, :, :] = jnp.zeros(shape, jnp.float32)
-
-        def tri_test(t, par):
+        def tri_test(t, par, blocked):
             def at(i):
                 f = t * 9 + i
                 return tri_scr[par, f // _CL_COLS, f % _CL_COLS]
@@ -1213,6 +1223,7 @@ def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
             e2x = at(6)
             e2y = at(7)
             e2z = at(8)
+            out = []
             for k, (px_, py_, pz_, ux, uy, uz, lo, hi) in enumerate(pre):
                 pvx = uy * e2z - uz * e2y
                 pvy = uz * e2x - ux * e2z
@@ -1232,8 +1243,8 @@ def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
                 mn = jnp.minimum(mn, tt - lo * adet)
                 mn = jnp.minimum(mn, hi * adet - tt)
                 mn = jnp.minimum(mn, adet - 1e-12)
-                blocked_scr[k, :, :] = jnp.where(
-                    mn > 0.0, 1.0, blocked_scr[k, :, :])
+                out.append(jnp.where(mn > 0.0, 1.0, blocked[k]))
+            return tuple(out)
 
         def copy(c, par):
             return pltpu.make_async_copy(
@@ -1243,7 +1254,7 @@ def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
         # prologue: cluster 0 in flight before the loop
         copy(jnp.int32(0), jnp.int32(0)).start()
 
-        def cluster_body(c, carry):
+        def cluster_body(c, blocked):
             par = jax.lax.rem(c, 2)
 
             @pl.when(c + 1 < n_clusters)
@@ -1253,31 +1264,31 @@ def _occl_bvh(clb_ref, n_clusters, tri_hbm, tri_scr, blocked_scr, sem):
             copy(c, par).wait()
 
             base = c * 6
-            overlap = (
-                (clb_ref[base + 0] <= his[0])
-                & (clb_ref[base + 3] >= los[0])
-                & (clb_ref[base + 1] <= his[1])
-                & (clb_ref[base + 4] >= los[1])
-                & (clb_ref[base + 2] <= his[2])
-                & (clb_ref[base + 5] >= los[2])
-            )
+            overlap = jnp.bool_(False)
+            for gi in range(N_RAY_GROUPS):
+                overlap = overlap | (
+                    (clb_ref[base + 0] <= ghis[gi][0])
+                    & (clb_ref[base + 3] >= glos[gi][0])
+                    & (clb_ref[base + 1] <= ghis[gi][1])
+                    & (clb_ref[base + 4] >= glos[gi][1])
+                    & (clb_ref[base + 2] <= ghis[gi][2])
+                    & (clb_ref[base + 5] >= glos[gi][2])
+                )
 
-            @pl.when(overlap)
-            def _():
-                def t4(q, cr):
+            def sweep(blk):
+                def t4(q, blk):
                     t0 = q * 4
-                    tri_test(t0, par)
-                    tri_test(t0 + 1, par)
-                    tri_test(t0 + 2, par)
-                    tri_test(t0 + 3, par)
-                    return cr
+                    for dt in range(4):
+                        blk = tri_test(t0 + dt, par, blk)
+                    return blk
 
-                jax.lax.fori_loop(0, K_CLUSTER // 4, t4, jnp.int32(0))
+                return jax.lax.fori_loop(0, K_CLUSTER // 4, t4, blk)
 
-            return carry
+            return jax.lax.cond(overlap, sweep, lambda blk: blk, blocked)
 
-        jax.lax.fori_loop(0, n_clusters, cluster_body, jnp.int32(0))
-        return [blocked_scr[k, :, :] > 0.5 for k in range(n_seg)]
+        init = tuple(jnp.zeros(shape, jnp.float32) for _ in range(n_seg))
+        blocked = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
+        return [b > 0.5 for b in blocked]
 
     return fn
 
