@@ -2,8 +2,16 @@
 
 Counterpart of src/integrators/bdpt/ (surface transport only — the
 reference's bdpt does not support participating media either; its docs
-say so and libbidir paths are surface paths). Emitter support: AREA and
-POINT lights (env/directional connections are a round-2 item).
+say so and libbidir paths are surface paths). Emitter support: AREA,
+POINT, DIRECTIONAL and CONSTANT-environment lights (the reference's
+bdpt covers these through PositionSamplingRecord emitters,
+src/libbidir/vertex.cpp). DIRECTIONAL is a delta-direction light
+vertex (position sampled on a disk of scene-bounding radius behind the
+scene, like sampleRay in directional.cpp); CONSTANT is modeled as an
+emitting bounding sphere — light subpaths start on it inward, eye
+paths that escape hit it (the s = 0 family), and both families share
+one area-measure parameterization so the MIS weights close. ENVMAP
+(textured) emitters remain outside bdpt (use volpath/ptracer).
 
 TPU design: subpaths have STATIC maximum lengths (n_eye, n_light); both
 random walks are lax.scans storing struct-of-arrays vertex records
@@ -109,10 +117,18 @@ def _eye_subpath(scene: Scene, key, ray_o, ray_d, n_eye: int,
             p=hp, ng=hit.ng, ng_raw=hit.ng_raw, mat=mat_id,
             emit=emit_id, beta=beta,
             pdf_fwd=pdf_next,
+            # raw solid-angle forward pdf at the PREVIOUS vertex: the
+            # env s=0 family re-converts it onto the bounding sphere
+            # (the stored pdf_fwd area conversion uses hp, which is the
+            # carried origin for escaped steps)
+            pdf_fwd_sa=pdf_next,
             # area-measure conversion toward the previous vertex happens
             # at connection time; store the solid-angle reverse pdf
             pdf_rev_sa=pdf_rev_sa,
             delta=smp.is_delta, valid=v_valid,
+            # escaped: the walk was live but the ray left the scene —
+            # the env s=0 strategy (constant-environment radiance)
+            esc=active & ~hit.valid,
             front=m.dot(hit.ng_raw, -d) > 0,
             wi=-d,
         )
@@ -137,10 +153,25 @@ def _eye_subpath(scene: Scene, key, ray_o, ray_d, n_eye: int,
 N_LIGHT_START_DIMS = 5  # emitter select + position 2D + direction 2D
 
 
+def _bounding_sphere(scene: Scene):
+    """Scene bounding sphere (center, radius) enclosing geometry AND
+    the camera — the shared parameterization for the env/directional
+    light-vertex positions, so every bdpt strategy measures them in the
+    same area measure."""
+    lo, hi = scene.aabb()
+    center = 0.5 * (lo + hi)
+    cam_pos = scene.camera.to_world[:3, 3]
+    r = jnp.maximum(0.5 * jnp.linalg.norm(hi - lo),
+                    jnp.linalg.norm(cam_pos - center))
+    return center, 1.05 * r
+
+
 def _light_start(scene: Scene, key, u5=None):
     """Sample the light subpath origin y0 + start direction, with the
-    pdf decomposition bidirectional MIS needs. AREA + POINT kinds.
-    `u5` (5,) drives the sample from explicit uniforms."""
+    pdf decomposition bidirectional MIS needs. AREA, POINT,
+    DIRECTIONAL (delta direction, disk position behind the scene) and
+    CONSTANT env (emitting bounding sphere, inward cosine direction)
+    kinds. `u5` (5,) drives the sample from explicit uniforms."""
     em = scene.emitters
     if u5 is None:
         u5 = jax.random.uniform(key, (N_LIGHT_START_DIMS,))
@@ -153,6 +184,9 @@ def _light_start(scene: Scene, key, u5=None):
     pmf = em.pmf[idx]
     is_area = kind == em_mod.AREA
     is_point = kind == em_mod.POINT
+    is_dir = kind == em_mod.DIRECTIONAL
+    is_envc = kind == em_mod.CONSTANT
+    center, r_env = _bounding_sphere(scene)
 
     # position on the light
     uv = u5[1:3]
@@ -164,32 +198,65 @@ def _light_start(scene: Scene, key, u5=None):
         0.5 * jnp.linalg.norm(jnp.cross(em.tri_e1[idx], em.tri_e2[idx])),
         1e-12,
     )
-    p0 = jnp.where(is_area, tri_p, em.position[idx])
-    ng0 = jnp.where(is_area, n_face, jnp.array([0.0, 0.0, 1.0]))
-    pdf_pos = jnp.where(is_area, pmf / area, pmf)  # point: discrete
+    # directional: disk of radius r_env behind the scene, perpendicular
+    # to the beam axis (directional.cpp sampleRay)
+    axis = em.direction[idx]
+    s_d, t_d = m.build_frame(axis)
+    r_disk = r_env * su
+    phi_d = 2.0 * jnp.pi * uv[1]
+    p_dir = (center - axis * (1.5 * r_env)
+             + s_d * (r_disk * jnp.cos(phi_d))
+             + t_d * (r_disk * jnp.sin(phi_d)))
+    # constant env: point on the bounding sphere, inward normal
+    n_out = warp.square_to_uniform_sphere(uv)
+    p_envc = center + r_env * n_out
 
-    # start direction
+    p0 = jnp.where(is_area, tri_p,
+                   jnp.where(is_dir, p_dir,
+                             jnp.where(is_envc, p_envc,
+                                       em.position[idx])))
+    ng0 = jnp.where(is_area, n_face,
+                    jnp.where(is_dir, axis,
+                              jnp.where(is_envc, -n_out,
+                                        jnp.array([0.0, 0.0, 1.0]))))
+    pdf_pos = jnp.where(
+        is_area, pmf / area,
+        jnp.where(is_dir, pmf / (jnp.pi * r_env * r_env),
+                  jnp.where(is_envc,
+                            pmf / (4.0 * jnp.pi * r_env * r_env),
+                            pmf)))  # point: discrete
+
+    # start direction: cosine about ng0 (area + env sphere), uniform
+    # sphere (point), or the fixed beam axis (directional: delta)
     u2 = u5[3:5]
     local = warp.square_to_cosine_hemisphere(u2)
-    s_f, t_f = m.build_frame(n_face)
-    d_area = m.frame_to_world(s_f, t_f, n_face, local)
+    s_f, t_f = m.build_frame(ng0)
+    d_cos = m.frame_to_world(s_f, t_f, ng0, local)
     d_sphere = warp.square_to_uniform_sphere(u2)
-    d0 = jnp.where(is_area, d_area, d_sphere)
+    use_cos = is_area | is_envc
+    d0 = jnp.where(use_cos, d_cos,
+                   jnp.where(is_dir, axis, d_sphere))
     cos0 = jnp.abs(m.dot(ng0, d0))
-    pdf_dir = jnp.where(is_area, cos0 / jnp.pi, 1.0 / (4.0 * jnp.pi))
+    pdf_dir = jnp.where(use_cos, cos0 / jnp.pi,
+                        jnp.where(is_dir, 1.0,  # delta direction
+                                  1.0 / (4.0 * jnp.pi)))
 
     # beta of the FIRST surface vertex the walk will hit:
-    # area: Le * cos / (pdf_pos * pdf_dir); point: I / (pmf * pdf_dir)
+    # area/env: Le * cos / (pdf_pos * pdf_dir); point: I/(pmf pdf_dir);
+    # directional: E / pdf_pos (the delta direction carries pdf 1)
     inten = em.intensity[idx]
     beta1 = jnp.where(
-        is_area, inten * (cos0 / (pdf_pos * jnp.maximum(pdf_dir, 1e-12))),
-        inten / (pmf * pdf_dir),
+        use_cos, inten * (cos0 / (pdf_pos * jnp.maximum(pdf_dir, 1e-12))),
+        jnp.where(is_dir, inten / pdf_pos,
+                  inten / (pmf * pdf_dir)),
     )
-    beta0 = jnp.where(is_area, inten / pdf_pos, inten / pmf)
-    valid = is_area | is_point
+    beta0 = jnp.where(use_cos, inten / pdf_pos, inten / pmf)
+    valid = is_area | is_point | is_dir | is_envc
     return dict(
         p0=p0, ng0=ng0, d0=d0, idx=idx, is_area=is_area,
-        is_point=is_point, pdf_pos=pdf_pos, pdf_dir=pdf_dir,
+        is_point=is_point, is_dir=is_dir, is_envc=is_envc,
+        use_cos=use_cos, axis=axis, center=center, r_env=r_env,
+        pdf_pos=pdf_pos, pdf_dir=pdf_dir,
         beta0=beta0, beta1=beta1, valid=valid, area=area, pmf=pmf,
     )
 
@@ -312,7 +379,10 @@ def _mis_weight(scene, ls, lv, ev, s, t, pt_rev, ptm_rev, qs_rev, qsm_rev,
     # ---- light side ----
     def light_delta(j):
         if j == 0:
-            return ls["is_point"]  # delta position light
+            # delta light vertex: point (delta position) or directional
+            # (delta direction — no stochastic strategy can generate the
+            # beam direction, so the y0 connection family is unique)
+            return ls["is_point"] | ls["is_dir"]
         return lv["delta"][j - 1]
 
     def light_pdf_fwd(j):
@@ -438,6 +508,52 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
         elif t == 1:
             total = total + l_s0  # t=1,s=0: direct visible light
 
+        # ---- s = 0, environment: the eye ray escaped at step t-1 and
+        # sees the constant-environment radiance. The env vertex is the
+        # bounding-sphere hit along the escape direction; its pdfs are
+        # the same sphere parameterization _light_start samples from,
+        # so the weights close over both families. ----
+        esc = ev["esc"][t - 1]
+        d_esc = -ev["wi"][t - 1]
+        env_rad = jnp.sum(
+            jnp.where((em.kind == em_mod.CONSTANT)[:, None],
+                      em.intensity, 0.0), axis=0)
+        l_env = beta_t * env_rad  # beta_t = throughput INTO the step
+        if t == 1:
+            total = total + jnp.where(esc[..., None], l_env, 0.0)
+        else:
+            center_e, r_env = _bounding_sphere(scene)
+            pmf_env = jnp.sum(
+                jnp.where(em.kind == em_mod.CONSTANT, em.pmf, 0.0))
+            o_prev = ev["prev_p"][t - 1]  # = x_{t-2}
+            oc = o_prev - center_e
+            bq = m.dot(oc, d_esc)
+            cq = m.length_sq(oc) - r_env * r_env
+            t_hit = -bq + jnp.sqrt(jnp.maximum(bq * bq - cq, 1e-9))
+            p_env = o_prev + d_esc * jnp.maximum(t_hit, 1e-3)[..., None]
+            ng_env = m.normalize(center_e - p_env)  # inward
+            pt_rev_e = pmf_env / (4.0 * jnp.pi * r_env * r_env)
+            cos_in = jnp.maximum(m.dot(ng_env, -d_esc), 0.0)
+            d_prev2 = o_prev - p_env
+            ptm_rev_e = _area_pdf(cos_in / jnp.pi, d_prev2,
+                                  ev["ng"][t - 2])
+            # forward pdf of the escaped segment re-measured on the
+            # sphere (the stored area conversion used the carried
+            # origin, see _eye_subpath's pdf_fwd_sa note)
+            pdf_fwd_env = _area_pdf(ev["pdf_fwd_sa"][t - 1],
+                                    p_env - o_prev, ng_env)
+            ev2 = dict(ev)
+            ev2["p"] = ev["p"].at[t - 1].set(p_env)
+            ev2["ng"] = ev["ng"].at[t - 1].set(ng_env)
+            ev2["pdf_fwd"] = ev["pdf_fwd"].at[t - 1].set(pdf_fwd_env)
+            ev2["delta"] = ev["delta"].at[t - 1].set(False)
+            w_env = _mis_weight(scene, ls, lv, ev2, 0, t, pt_rev_e,
+                                ptm_rev_e, 0.0, 0.0, cfg.n_eye,
+                                cfg.n_light, cam_rev_pdf=cam_rev)
+            ok_env = esc & (pmf_env > 0)
+            total = total + jnp.where(ok_env[..., None],
+                                      w_env * l_env, 0.0)
+
         # predecessor of xt: the camera for t=1 (its reverse pdf only
         # feeds the excluded t'=1 light-tracing strategy — the eye-side
         # MIS loop is empty at t=1, so the override value is unused)
@@ -446,20 +562,38 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
         # ---- s = 1: connect to a fresh point on the light (NEE) ----
         dvec = ls["p0"] - xt
         d2 = jnp.maximum(m.length_sq(dvec), 1e-12)
-        dirn = dvec * jax.lax.rsqrt(d2)[..., None]
-        tau = _visible_tau(scene, xt, ls["p0"])
+        dirn_pt = dvec * jax.lax.rsqrt(d2)[..., None]
+        # directional: the connection direction is the (delta) beam
+        # axis, and visibility runs to a pseudo-point outside the scene
+        # along it — NOT toward the sampled disk point
+        dirn = jnp.where(ls["is_dir"][..., None], -ls["axis"], dirn_pt)
+        vis_b = jnp.where(ls["is_dir"][..., None],
+                          xt - ls["axis"] * (2.0 * ls["r_env"]),
+                          ls["p0"])
+        tau = _visible_tau(scene, xt, vis_b)
         f_eye = bsdf_api.eval_smooth(scene, mat_t, ng_t, wi_t, dirn,
                                      p_world=xt)
         cos_l = jnp.maximum(m.dot(ls["ng0"], -dirn), 0.0)
-        # radiance toward xt per kind
+        # radiance toward xt per kind: area/env sphere carry the
+        # geometric cos/d^2, point its 1/d^2 falloff, directional the
+        # plain irradiance (delta direction, no falloff)
         val_area = ls["beta0"] * (cos_l / d2)[..., None]
         val_point = ls["beta0"] / d2[..., None]
-        val = jnp.where(ls["is_area"][..., None], val_area, val_point)
+        val = jnp.where(ls["use_cos"][..., None], val_area,
+                        jnp.where(ls["is_dir"][..., None], ls["beta0"],
+                                  val_point))
         l_s1 = beta_t * f_eye * tau * val
-        # MIS pdfs for the s=1 connection
-        pt_rev_s1 = _area_pdf(
-            jnp.where(ls["is_area"], cos_l / jnp.pi, 1.0 / (4 * jnp.pi)),
-            -dvec, ng_t,
+        # MIS pdfs for the s=1 connection. Directional: the light
+        # generates xt through its disk-position choice — area density
+        # pdf_pos projected onto the receiver (pmf/(pi R^2) |cos|)
+        pt_rev_s1 = jnp.where(
+            ls["is_dir"],
+            ls["pdf_pos"] * jnp.abs(m.dot(ng_t, ls["axis"])),
+            _area_pdf(
+                jnp.where(ls["use_cos"], cos_l / jnp.pi,
+                          1.0 / (4 * jnp.pi)),
+                -dvec, ng_t,
+            ),
         )
         d_prev = ev["prev_p"][t - 1] - xt
         ptm_rev_s1 = _area_pdf(
