@@ -41,6 +41,17 @@ class ALVRLParams:
     num_particles: int = 128
     cluster: cl.ClusterParams = None
     seed: int = 0
+    # Cast R to bfloat16 on-device before the host transfer (halves the
+    # device->host bytes; the transfer is ~1/3 of the clustered path's
+    # per-pass host cost on the remote tunnel — see VALIDATION.md's
+    # clustered-economics bound). bf16 keeps f32's range, and the
+    # clustering cost model (relative luminance comparisons,
+    # Preprocessor.cpp:133-197) only needs ~2-3 significant digits;
+    # the pixel->slice map stays identical and >99% of table entries
+    # match the f32 transfer bit-for-bit, with the remainder being
+    # cluster-boundary shifts the estimator is unbiased under
+    # (tests/test_render.py::test_r_half_transfer).
+    r_transfer_half: bool = True
 
     def __post_init__(self):
         if self.cluster is None:
@@ -131,8 +142,12 @@ def prepare_clustering(
     r_mean, r_var = r_builder(
         scene, ray_o, ray_d, vrls, rng.fold(jax.random.key(params.seed), 11), cfg
     )
-    r_mean = np.asarray(r_mean, np.float64)
-    r_var = np.asarray(r_var, np.float64)
+    if params.r_transfer_half:
+        # on-device downcast -> half the transfer bytes; upcast on host
+        r_mean = r_mean.astype(jnp.bfloat16)
+        r_var = r_var.astype(jnp.bfloat16)
+    r_mean = np.asarray(r_mean).astype(np.float64)
+    r_var = np.asarray(r_var).astype(np.float64)
 
     # rows_per_slice: indices into the concatenated R
     rows_per_slice = []
