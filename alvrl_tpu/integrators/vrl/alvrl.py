@@ -51,6 +51,13 @@ class ALVRLParams:
     # match the f32 transfer bit-for-bit, with the remainder being
     # cluster-boundary shifts the estimator is unbiased under
     # (tests/test_render.py::test_r_half_transfer).
+    #
+    # BEHAVIOR CHANGE (round 4, ADVICE r04 #2): this defaults to True,
+    # so clustered renders are NOT bit-identical to rounds <= 3 —
+    # cluster boundaries can shift under bf16 rounding (the estimator
+    # stays unbiased; only which representative a pixel sums over may
+    # differ). Set r_transfer_half=False to reproduce the old tables
+    # exactly.
     r_transfer_half: bool = True
 
     def __post_init__(self):

@@ -12,21 +12,23 @@ sinh/asinh inverse-distance product sampling; vol-vol + vol-surf terms;
 short-VRL pdfFailure division — vrlIntegrator.cpp:603-953), written as
 per-channel scalar math over (R, V) tiles.
 
-Scope: forward rendering (the benchmark path). The differentiable path
-keeps the XLA version; a Pallas backward (recompute with the same PRNG
-seeds) is planned.
+Scope: forward rendering AND gradients. The backward pass runs as
+seed-replay custom VJPs in ops/vrl_pallas_bwd.py — all four launch
+variants ({homog, hetero} x {unclustered, clustered}) recompute the
+forward samples from the same per-tile PRNG seeds and accumulate
+cotangents in-kernel (FD-validated in tests/test_pallas_bwd.py;
+measured 11x faster than XLA AD at config-4 scale,
+scripts/bench_grad_hetero.py).
 
 Triangle capacity: the occlusion list is scalar-prefetched into SMEM —
 suitable for benchmark-scale meshes (T <= ~500). For larger meshes,
 vrl_sum_pallas_bvh (bottom of this file) streams BVH-leaf triangle
-clusters from beyond SMEM with per-tile AABB culling — EXPERIMENTAL:
-validated against the XLA path (mean ratio 1.00005 at 4k tris) and
-memory-bounded at mesh sizes where the XLA brute-force occlusion OOMs
-(16k tris x standard tiles wants 50 GB of intermediates), but the
-sequential cluster loop has no DMA/compute overlap yet and the
-union-AABB cull cannot help in enclosing-geometry scenes (a Cornell
-box overlaps every tile's segment AABB). Round-2 work: double-buffered
-DMA + per-segment-group culling.
+clusters from beyond SMEM with double-buffered DMA, a register-carry
+Wald sweep, and per-ray-group AABB culling (phase 2, round 4): it is
+the large-mesh winner — 13.6-34.9x faster than the chunked XLA path at
+4k-16k triangles and bit-exact vs the SMEM kernel at Cornell scale
+(tests/test_bvh.py regression). Scaling with triangle count is
+~linear in the leaf-cluster stream; see scripts/bench_bvh_large.py.
 """
 
 from __future__ import annotations
