@@ -68,6 +68,25 @@ class BDPTConfig:
     # the round-3 behavior (families split between bdpt and ptracer).
     with_light_tracing: bool = struct.field(pytree_node=False,
                                             default=False)
+    # Emit the s=0 environment strategy (bounding-sphere vertex + full
+    # MIS evaluation per eye prefix)? That block inflates the unrolled
+    # program for every t even when the scene has no CONSTANT emitter
+    # (ADVICE r04 #3), so the public entry points resolve None ->
+    # whether the concrete scene actually carries one
+    # (_resolve_env_strategies). None inside _connect_all is treated as
+    # True (safe for callers that jit around us with a traced scene).
+    env_strategies: bool | None = struct.field(pytree_node=False,
+                                               default=None)
+
+
+def _resolve_env_strategies(scene: Scene, cfg: BDPTConfig) -> BDPTConfig:
+    """Pin cfg.env_strategies from a CONCRETE scene (call outside jit)."""
+    if cfg.env_strategies is not None:
+        return cfg
+    import numpy as _np
+    has_env = bool(_np.any(_np.asarray(scene.emitters.kind)
+                           == em_mod.CONSTANT))
+    return cfg.replace(env_strategies=has_env)
 
 
 def _area_pdf(pdf_sa, d_vec, ng_to):
@@ -512,14 +531,19 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
         # sees the constant-environment radiance. The env vertex is the
         # bounding-sphere hit along the escape direction; its pdfs are
         # the same sphere parameterization _light_start samples from,
-        # so the weights close over both families. ----
+        # so the weights close over both families. Statically skipped
+        # when the resolved config says the scene has no CONSTANT
+        # emitter (ADVICE r04 #3). ----
+        include_env = cfg.env_strategies is not False
         esc = ev["esc"][t - 1]
         d_esc = -ev["wi"][t - 1]
         env_rad = jnp.sum(
             jnp.where((em.kind == em_mod.CONSTANT)[:, None],
                       em.intensity, 0.0), axis=0)
         l_env = beta_t * env_rad  # beta_t = throughput INTO the step
-        if t == 1:
+        if not include_env:
+            pass
+        elif t == 1:
             total = total + jnp.where(esc[..., None], l_env, 0.0)
         else:
             center_e, r_env = _bounding_sphere(scene)
@@ -661,10 +685,21 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
     return total
 
 
-@partial(jax.jit, static_argnames=("cfg", "spp"))
 def render_bdpt(scene: Scene, key, spp: int = 8,
                 cfg: BDPTConfig = BDPTConfig()):
-    """Full-frame BDPT render (center rays, like render_volpath)."""
+    """Full-frame BDPT render (center rays, like render_volpath).
+
+    Resolves cfg.env_strategies from the concrete scene before jitting
+    so area/point-light-only scenes skip the s=0 environment strategy's
+    per-prefix MIS block entirely (ADVICE r04 #3)."""
+    if not isinstance(scene.emitters.kind, jax.core.Tracer):
+        cfg = _resolve_env_strategies(scene, cfg)
+    return _render_bdpt_jit(scene, key, spp, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp"))
+def _render_bdpt_jit(scene: Scene, key, spp: int = 8,
+                     cfg: BDPTConfig = BDPTConfig()):
     cam = scene.camera
     w, h = cam.width, cam.height
     px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
@@ -749,7 +784,6 @@ def _lt_splat_one(scene: Scene, key, cfg: BDPTConfig):
             jnp.stack(oks))
 
 
-@partial(jax.jit, static_argnames=("cfg", "spp", "num_particles"))
 def render_bdpt_lt(scene: Scene, key, spp: int = 8,
                    cfg: BDPTConfig = BDPTConfig(),
                    num_particles: int = None):
@@ -757,6 +791,15 @@ def render_bdpt_lt(scene: Scene, key, spp: int = 8,
     with_light_tracing MIS weights plus the lens-splat pass with the
     complementary weights (normalized per particle, the ptracer
     convention validated against volpath)."""
+    if not isinstance(scene.emitters.kind, jax.core.Tracer):
+        cfg = _resolve_env_strategies(scene, cfg)
+    return _render_bdpt_lt_jit(scene, key, spp, cfg, num_particles)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "num_particles"))
+def _render_bdpt_lt_jit(scene: Scene, key, spp: int = 8,
+                        cfg: BDPTConfig = BDPTConfig(),
+                        num_particles: int = None):
     cfg_lt = cfg.replace(with_light_tracing=True)
     cam = scene.camera
     w, h = cam.width, cam.height

@@ -41,11 +41,25 @@
 // conventions of alvrl_tpu/integrators/vrl/integrate.py so a fixed-u
 // comparison is meaningful at 1e-3.
 
+// Bench mode (VERDICT r04 next-round item 2 — "ground the baseline"):
+//   vrl_oracle scene.txt vrls.txt pcount --bench REPS [THREADS]
+// runs the full ray x VRL x sample sweep REPS times with RANDOM
+// uniforms (splitmix64 per ray — cheaper than the reference's SFMT,
+// which can only make this baseline FASTER, i.e. conservative for any
+// "x over baseline" claim), parallelized over rays with std::thread,
+// and prints one line: total pair-sample evals, wall seconds, evals/s.
+// This is the measured stand-in for the reference CPU build's
+// throughput (same integrand, same guards, double precision, -O3):
+// bench.py's vs_baseline divides by (this per-core rate x 8 cores).
+
+#include <chrono>
 #include <cmath>
 #include <cstdio>
+#include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 struct V3 {
@@ -108,6 +122,192 @@ static double hg(double g, double c) {
     double temp = std::max(1.0 + g * g + 2.0 * g * c, 1e-12);
     return (1.0 / (4.0 * M_PI)) * (1.0 - g * g)
         / (temp * std::sqrt(temp));
+}
+
+// splitmix64 -> U[0,1); only used by --bench (test mode pins u = u_fix)
+static inline double rng_u01(uint64_t* s) {
+    uint64_t z = (*s += 0x9e3779b97f4a7c15ULL);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    z ^= z >> 31;
+    return (double)(z >> 11) * (1.0 / 9007199254740992.0);
+}
+
+struct Params {
+    double sa[3], ss[3], st[3], g, msw;
+    int s_vv, s_vs, short_vrls;
+    double u_fix;
+    const std::vector<Tri>* tris;
+    const std::vector<Vrl>* vrls;
+};
+
+static const double H_EPS = 1e-6;
+
+// One ray's full VRL sum. rng == nullptr -> fixed uniforms (test mode).
+static void eval_ray(const Params& P, const Ray& r, double out[3],
+                     uint64_t* rng) {
+    out[0] = out[1] = out[2] = 0.0;
+    if (!r.valid) return;
+    const double* ss = P.ss;
+    const double* st = P.st;
+    V3 evec = r.hit - r.o;
+    double elen = std::max(len(evec), 1e-15);
+    for (const Vrl& vr : *P.vrls) {
+        V3 vd = vr.e - vr.s;
+        double vlen = std::max(len(vd), 1e-15);
+        V3 vu = vd * (1.0 / vlen);
+
+        // clamped segment-segment closest points
+        // (getClosestPoints, vrlIntegrator.cpp:962-1032)
+        V3 w0 = r.o - vr.s;
+        double a = dot(evec, evec), b = dot(evec, vd),
+               c = dot(vd, vd), dd = dot(evec, w0),
+               e = dot(vd, w0);
+        double den = a * c - b * b;
+        double sc, tc;
+        if (den < 1e-9 * a * c + 1e-30) {
+            sc = 0.0;
+            tc = (c > 0) ? e / c : 0.0;
+        } else {
+            sc = (b * e - c * dd) / den;
+            tc = (a * e - b * dd) / den;
+        }
+        if (sc < 0) { sc = 0; tc = (c > 0) ? e / c : 0; }
+        else if (sc > 1) { sc = 1; tc = (c > 0) ? (e + b) / c : 0; }
+        if (tc < 0) {
+            tc = 0;
+            sc = std::min(std::max(-dd / std::max(a, 1e-30), 0.0), 1.0);
+        } else if (tc > 1) {
+            tc = 1;
+            sc = std::min(
+                std::max((-dd + b) / std::max(a, 1e-30), 0.0), 1.0);
+        }
+        V3 diff = (r.o + evec * sc) - (vr.s + vd * tc);
+        double h = std::max(len(diff), H_EPS);
+
+        double cos_th = dot(norm(evec), vu);
+        double sin_th = std::sqrt(std::max(1.0 - cos_th * cos_th, 0.0));
+        bool near_par = sin_th < 1e-4;
+        double sin_safe = std::max(sin_th, 1e-4);
+        double arc_h = tc * vlen;
+        double a0 = std::asinh(-arc_h / h * sin_safe);
+        double a1 = std::asinh((vlen - arc_h) / h * sin_safe);
+
+        // ---- vol-vol samples ----
+        for (int k = 0; k < P.s_vv; ++k) {
+            double u1 = rng ? rng_u01(rng) : P.u_fix;
+            double u2 = rng ? rng_u01(rng) : P.u_fix;
+            double arc_v, pdf_v;
+            if (near_par) {
+                arc_v = u1 * vlen;
+                pdf_v = 1.0 / vlen;
+            } else {
+                double nv = h * std::sinh(a0 + u1 * (a1 - a0)) / sin_safe;
+                double inv_dist = 1.0 / std::sqrt(std::max(
+                    h * h + nv * nv * sin_safe * sin_safe, 1e-30));
+                double denom = std::max((a1 - a0) / sin_safe, 1e-30);
+                arc_v = nv + arc_h;
+                pdf_v = inv_dist / denom;
+            }
+            V3 vpt = vr.s + vu * arc_v;
+
+            // Kulla equi-angular along the eye ray around vpt
+            V3 eu = norm(evec);
+            double dot_pr = dot(eu, vpt - r.o);
+            V3 ipt = r.o + eu * dot_pr;
+            double dis = std::max(len(vpt - ipt), H_EPS);
+            double aa = std::atan(std::fabs(dot_pr) / dis);
+            double bb = std::atan(std::fabs(elen - dot_pr) / dis);
+            if (dot_pr > 0) {
+                aa = -aa;
+                if (std::fabs(dot_pr) > elen) bb = -bb;
+            }
+            double t = dis * std::tan((1.0 - u2) * aa + u2 * bb);
+            double span = bb - aa;
+            double pdf_u =
+                std::fabs(span) > 1e-12
+                    ? dis / std::max(span * (dis * dis + t * t), 1e-30)
+                    : 0.0;
+            double arc_u = dot_pr + t;
+            V3 upt = r.o + eu * arc_u;
+
+            double pdf = pdf_v * pdf_u;
+            V3 uv = upt - vpt;
+            double d_uv2 = dot(uv, uv);
+            if (!(d_uv2 > 0.0) || !(pdf > 0.0)) continue;
+            if (occluded(*P.tris, upt, vpt)) continue;
+            double d_uv = std::sqrt(d_uv2);
+            V3 vudir = uv * (1.0 / d_uv);
+            double d_eu = std::fabs(arc_u);
+            double d_sv = std::fabs(arc_v);
+            double ph_u = hg(P.g, dot(vudir, eu));
+            double ph_v = hg(P.g, -dot(vu, vudir));
+            double geo = ph_u * ph_v / std::max(pdf * d_uv2, 1e-30);
+            if (P.short_vrls) {
+                double pf = (std::exp(-st[0] * d_sv)
+                             + std::exp(-st[1] * d_sv)
+                             + std::exp(-st[2] * d_sv)) / 3.0;
+                pf = P.msw * pf + (1.0 - P.msw);
+                geo /= std::max(pf, 1e-30);
+            }
+            double ddist = d_eu + d_uv + d_sv;
+            const double* pw = &vr.power.x;
+            for (int ch = 0; ch < 3; ++ch)
+                out[ch] += pw[ch] * ss[ch] * ss[ch]
+                    * std::exp(-st[ch] * ddist) * geo / P.s_vv;
+        }
+
+        // ---- vol-surf samples ----
+        bool alb_any = (r.alb.x + r.alb.y + r.alb.z) > 0.0;
+        for (int k = 0; k < P.s_vs && alb_any; ++k) {
+            double u1 = rng ? rng_u01(rng) : P.u_fix;
+            double dot_pr = dot(vu, r.hit - vr.s);
+            V3 ipt = vr.s + vu * dot_pr;
+            double dis = std::max(len(r.hit - ipt), H_EPS);
+            double aa = std::atan(std::fabs(dot_pr) / dis);
+            double bb = std::atan(std::fabs(vlen - dot_pr) / dis);
+            if (dot_pr > 0) {
+                aa = -aa;
+                if (std::fabs(dot_pr) > vlen) bb = -bb;
+            }
+            double t = dis * std::tan((1.0 - u1) * aa + u1 * bb);
+            double span = bb - aa;
+            double pdf_v =
+                std::fabs(span) > 1e-12
+                    ? dis / std::max(span * (dis * dis + t * t), 1e-30)
+                    : 0.0;
+            double arc_v = dot_pr + t;
+            V3 vpt = vr.s + vu * arc_v;
+            V3 uv = r.hit - vpt;
+            double d_uv2 = dot(uv, uv);
+            if (!(d_uv2 > 0.0) || !(pdf_v > 0.0)) continue;
+            if (occluded(*P.tris, r.hit, vpt)) continue;
+            double d_uv = std::sqrt(d_uv2);
+            V3 vudir = uv * (1.0 / d_uv);
+            double d_sv = std::fabs(arc_v);
+            double cos_o = std::max(dot(r.ng, vudir * -1.0), 0.0);
+            double ph_v = hg(P.g, -dot(vu, vudir));
+            double geo = ph_v * cos_o * (1.0 / M_PI)
+                / std::max(pdf_v * d_uv2, 1e-30);
+            if (P.short_vrls) {
+                double pf = (std::exp(-st[0] * d_sv)
+                             + std::exp(-st[1] * d_sv)
+                             + std::exp(-st[2] * d_sv)) / 3.0;
+                pf = P.msw * pf + (1.0 - P.msw);
+                geo /= std::max(pf, 1e-30);
+            }
+            // tau(E -> Usurf) with the VRL medium (the reference's
+            // same-medium quirk, vrlIntegrator.cpp:714)
+            double ddist = d_uv + d_sv;
+            const double* pw = &vr.power.x;
+            const double* albp = &r.alb.x;
+            for (int ch = 0; ch < 3; ++ch) {
+                double tau_eu = std::exp(-st[ch] * elen);
+                out[ch] += pw[ch] * ss[ch] * albp[ch] * tau_eu
+                    * std::exp(-st[ch] * ddist) * geo / P.s_vs;
+            }
+        }
+    }
 }
 
 int main(int argc, char** argv) {
@@ -176,178 +376,59 @@ int main(int argc, char** argv) {
     }
     std::fclose(f);
 
-    const double H_EPS = 1e-6;
+    Params P;
+    std::memcpy(P.sa, sa, sizeof sa);
+    std::memcpy(P.ss, ss, sizeof ss);
+    std::memcpy(P.st, st, sizeof st);
+    P.g = g; P.msw = msw;
+    P.s_vv = s_vv; P.s_vs = s_vs; P.short_vrls = short_vrls;
+    P.u_fix = u_fix;
+    P.tris = &tris; P.vrls = &vrls;
+
+    if (argc >= 6 && !std::strcmp(argv[4], "--bench")) {
+        int reps = std::atoi(argv[5]);
+        int nthreads = (argc >= 7) ? std::atoi(argv[6]) : 1;
+        auto t0 = std::chrono::steady_clock::now();
+        std::vector<double> sums(nthreads, 0.0);
+        auto work = [&](int tid) {
+            uint64_t rng = 0x123456789abcdefULL + 0x9e3779b9ULL * tid;
+            double acc = 0.0;
+            for (int rep = 0; rep < reps; ++rep)
+                for (size_t i = tid; i < rays.size();
+                     i += (size_t)nthreads) {
+                    double out[3];
+                    eval_ray(P, rays[i], out, &rng);
+                    acc += out[0] + out[1] + out[2];
+                }
+            sums[tid] = acc;
+        };
+        std::vector<std::thread> ths;
+        for (int tdx = 0; tdx < nthreads; ++tdx)
+            ths.emplace_back(work, tdx);
+        for (auto& th : ths) th.join();
+        double secs = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        long n_valid = 0;
+        for (const Ray& r : rays) n_valid += r.valid ? 1 : 0;
+        double checksum = 0.0;
+        for (double s : sums) checksum += s;
+        // pair-sample evals: every (valid ray, VRL) pair draws s_vv
+        // vol-vol + s_vs vol-surf samples (matches bench.py's count)
+        double evals = (double)n_valid * (double)vrls.size()
+            * (double)(P.s_vv + P.s_vs) * (double)reps;
+        std::printf("{\"pair_sample_evals\": %.0f, \"seconds\": %.6f, "
+                    "\"evals_per_s\": %.6g, \"threads\": %d, "
+                    "\"checksum\": %.6g}\n",
+                    evals, secs, evals / secs, nthreads, checksum);
+        return 0;
+    }
+
     for (const Ray& r : rays) {
-        double out[3] = {0, 0, 0};
-        if (!r.valid) { std::printf("0 0 0\n"); continue; }
-        V3 evec = r.hit - r.o;
-        double elen = std::max(len(evec), 1e-15);
-        for (const Vrl& vr : vrls) {
-            V3 vd = vr.e - vr.s;
-            double vlen = std::max(len(vd), 1e-15);
-            V3 vu = vd * (1.0 / vlen);
-
-            // clamped segment-segment closest points
-            // (getClosestPoints, vrlIntegrator.cpp:962-1032)
-            V3 w0 = r.o - vr.s;
-            double a = dot(evec, evec), b = dot(evec, vd),
-                   c = dot(vd, vd), dd = dot(evec, w0),
-                   e = dot(vd, w0);
-            double den = a * c - b * b;
-            double sc, tc;
-            if (den < 1e-9 * a * c + 1e-30) {
-                sc = 0.0;
-                tc = (c > 0) ? e / c : 0.0;
-            } else {
-                sc = (b * e - c * dd) / den;
-                tc = (a * e - b * dd) / den;
-            }
-            if (sc < 0) { sc = 0; tc = (c > 0) ? e / c : 0; }
-            else if (sc > 1) { sc = 1; tc = (c > 0) ? (e + b) / c : 0; }
-            if (tc < 0) {
-                tc = 0;
-                sc = std::min(std::max(-dd / std::max(a, 1e-30), 0.0),
-                              1.0);
-            } else if (tc > 1) {
-                tc = 1;
-                sc = std::min(
-                    std::max((-dd + b) / std::max(a, 1e-30), 0.0), 1.0);
-            }
-            V3 diff = (r.o + evec * sc) - (vr.s + vd * tc);
-            double h = std::max(len(diff), H_EPS);
-
-            double cos_th = dot(norm(evec), vu);
-            double sin_th =
-                std::sqrt(std::max(1.0 - cos_th * cos_th, 0.0));
-            bool near_par = sin_th < 1e-4;
-            double sin_safe = std::max(sin_th, 1e-4);
-            double arc_h = tc * vlen;
-            double a0 = std::asinh(-arc_h / h * sin_safe);
-            double a1 = std::asinh((vlen - arc_h) / h * sin_safe);
-
-            // ---- vol-vol samples ----
-            for (int k = 0; k < s_vv; ++k) {
-                double u1 = u_fix, u2 = u_fix;
-                double arc_v, pdf_v;
-                if (near_par) {
-                    arc_v = u1 * vlen;
-                    pdf_v = 1.0 / vlen;
-                } else {
-                    double nv =
-                        h * std::sinh(a0 + u1 * (a1 - a0)) / sin_safe;
-                    double inv_dist = 1.0 / std::sqrt(std::max(
-                        h * h + nv * nv * sin_safe * sin_safe, 1e-30));
-                    double denom =
-                        std::max((a1 - a0) / sin_safe, 1e-30);
-                    arc_v = nv + arc_h;
-                    pdf_v = inv_dist / denom;
-                }
-                V3 vpt = vr.s + vu * arc_v;
-
-                // Kulla equi-angular along the eye ray around vpt
-                V3 eu = norm(evec);
-                double dot_pr = dot(eu, vpt - r.o);
-                V3 ipt = r.o + eu * dot_pr;
-                double dis = std::max(len(vpt - ipt), H_EPS);
-                double aa = std::atan(std::fabs(dot_pr) / dis);
-                double bb = std::atan(std::fabs(elen - dot_pr) / dis);
-                if (dot_pr > 0) {
-                    aa = -aa;
-                    if (std::fabs(dot_pr) > elen) bb = -bb;
-                }
-                double t = dis * std::tan((1.0 - u2) * aa + u2 * bb);
-                double span = bb - aa;
-                double pdf_u =
-                    std::fabs(span) > 1e-12
-                        ? dis / std::max(span * (dis * dis + t * t),
-                                         1e-30)
-                        : 0.0;
-                double arc_u = dot_pr + t;
-                V3 upt = r.o + eu * arc_u;
-
-                double pdf = pdf_v * pdf_u;
-                V3 uv = upt - vpt;
-                double d_uv2 = dot(uv, uv);
-                if (!(d_uv2 > 0.0) || !(pdf > 0.0)) continue;
-                if (occluded(tris, upt, vpt)) continue;
-                double d_uv = std::sqrt(d_uv2);
-                V3 vudir = uv * (1.0 / d_uv);
-                double d_eu = std::fabs(arc_u);
-                double d_sv = std::fabs(arc_v);
-                double ph_u = hg(g, dot(vudir, eu));
-                double ph_v = hg(g, -dot(vu, vudir));
-                double geo =
-                    ph_u * ph_v / std::max(pdf * d_uv2, 1e-30);
-                if (short_vrls) {
-                    double pf = (std::exp(-st[0] * d_sv)
-                                 + std::exp(-st[1] * d_sv)
-                                 + std::exp(-st[2] * d_sv)) / 3.0;
-                    pf = msw * pf + (1.0 - msw);
-                    geo /= std::max(pf, 1e-30);
-                }
-                double ddist = d_eu + d_uv + d_sv;
-                const double* pw = &vr.power.x;
-                for (int ch = 0; ch < 3; ++ch)
-                    out[ch] += pw[ch] * ss[ch] * ss[ch]
-                        * std::exp(-st[ch] * ddist) * geo / s_vv;
-            }
-
-            // ---- vol-surf samples ----
-            bool alb_any =
-                (r.alb.x + r.alb.y + r.alb.z) > 0.0;
-            for (int k = 0; k < s_vs && alb_any; ++k) {
-                double u1 = u_fix;
-                double dot_pr = dot(vu, r.hit - vr.s);
-                V3 ipt = vr.s + vu * dot_pr;
-                double dis = std::max(len(r.hit - ipt), H_EPS);
-                double aa = std::atan(std::fabs(dot_pr) / dis);
-                double bb = std::atan(std::fabs(vlen - dot_pr) / dis);
-                if (dot_pr > 0) {
-                    aa = -aa;
-                    if (std::fabs(dot_pr) > vlen) bb = -bb;
-                }
-                double t = dis * std::tan((1.0 - u1) * aa + u1 * bb);
-                double span = bb - aa;
-                double pdf_v =
-                    std::fabs(span) > 1e-12
-                        ? dis / std::max(span * (dis * dis + t * t),
-                                         1e-30)
-                        : 0.0;
-                double arc_v = dot_pr + t;
-                V3 vpt = vr.s + vu * arc_v;
-                V3 uv = r.hit - vpt;
-                double d_uv2 = dot(uv, uv);
-                if (!(d_uv2 > 0.0) || !(pdf_v > 0.0)) continue;
-                if (occluded(tris, r.hit, vpt)) continue;
-                double d_uv = std::sqrt(d_uv2);
-                V3 vudir = uv * (1.0 / d_uv);
-                double d_sv = std::fabs(arc_v);
-                double cos_o =
-                    std::max(dot(r.ng, vudir * -1.0), 0.0);
-                double ph_v = hg(g, -dot(vu, vudir));
-                double geo = ph_v * cos_o * (1.0 / M_PI)
-                    / std::max(pdf_v * d_uv2, 1e-30);
-                if (short_vrls) {
-                    double pf = (std::exp(-st[0] * d_sv)
-                                 + std::exp(-st[1] * d_sv)
-                                 + std::exp(-st[2] * d_sv)) / 3.0;
-                    pf = msw * pf + (1.0 - msw);
-                    geo /= std::max(pf, 1e-30);
-                }
-                // tau(E -> Usurf) with the VRL medium (the reference's
-                // same-medium quirk, vrlIntegrator.cpp:714)
-                double ddist = d_uv + d_sv;
-                const double* pw = &vr.power.x;
-                const double* albp = &r.alb.x;
-                for (int ch = 0; ch < 3; ++ch) {
-                    double tau_eu = std::exp(-st[ch] * elen);
-                    out[ch] += pw[ch] * ss[ch] * albp[ch] * tau_eu
-                        * std::exp(-st[ch] * ddist) * geo / s_vs;
-                }
-            }
-        }
+        double out[3];
+        eval_ray(P, r, out, nullptr);
         std::printf("%.10e %.10e %.10e\n", out[0] / pcount,
                     out[1] / pcount, out[2] / pcount);
     }
     return 0;
 }
+
