@@ -695,11 +695,13 @@ def render_with_vrls_pallas_hetero_diff(
     """Differentiable grid-medium unclustered Pallas render: gradients
     flow to scene.medium (sigma_t_color / sigma_s_color / g / the
     density voxels and med.scale through the cumulative-OD table
-    cotangents), emitter-scaled VRL powers, and an explicit dens_scale
-    multiplier on the CP density factors (the in-kernel density terms'
-    scale direction — see ops/vrl_pallas_bwd module docstring for the
-    per-voxel caveat). cp_pack comes from ops.pack.pack_cp (host-side
-    fit, detached)."""
+    cotangents), emitter-scaled VRL powers, an explicit dens_scale
+    multiplier, and (round 5) cp_pack itself: the kernel returns EXACT
+    per-entry CP factor cotangents, so jax.grad w.r.t. cp_pack is real
+    and chains to the density voxels through ops.cp.fit_medium_vjp's
+    implicit fit VJP — the full per-voxel route at kernel speed (see
+    ops/vrl_pallas_bwd module docstring and
+    scripts/recover_density.py)."""
     from alvrl_tpu.media import api as mapi_
     from alvrl_tpu.ops import pack as pk
     from alvrl_tpu.ops.vrl_pallas_bwd import vrl_sum_hetero_diff

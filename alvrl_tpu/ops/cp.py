@@ -33,12 +33,15 @@ _CACHE: dict = {}
 MAX_AXIS = 128  # lane-gather table capacity
 
 
-def _als(T, rank, iters=60, seed=0):
+def _als(T, rank, iters=60, seed=0, init=None):
     rs = np.random.default_rng(seed)
     nz, ny, nx = T.shape
-    A = rs.uniform(0.1, 1.0, (nz, rank))
-    B = rs.uniform(0.1, 1.0, (ny, rank))
-    C = rs.uniform(0.1, 1.0, (nx, rank))
+    if init is not None:
+        A, B, C = (np.array(f, np.float64) for f in init)
+    else:
+        A = rs.uniform(0.1, 1.0, (nz, rank))
+        B = rs.uniform(0.1, 1.0, (ny, rank))
+        C = rs.uniform(0.1, 1.0, (nx, rank))
     T0 = T.reshape(nz, -1)
     T1 = np.moveaxis(T, 1, 0).reshape(ny, -1)
     T2 = np.moveaxis(T, 2, 0).reshape(nx, -1)
@@ -96,3 +99,184 @@ def fit_medium(med, rank: int = 48):
     f2[1] *= float(_np.cbrt(float(med.scale)))
     f2[2] *= float(_np.cbrt(float(med.scale)))
     return f2, err
+
+
+# ---------------------------------------------------------------------------
+# Implicit VJP of the CP fit (round 5, VERDICT r04 next-round item 1).
+#
+# The kernel's backward pass returns EXACT cotangents g = (gA, gB, gC)
+# of the factor tables. The factors came from the least-squares fit
+#     theta(ss) = argmin_theta || ss - M(theta) ||_F^2,
+#     M(A,B,C) = sum_k A_k (x) B_k (x) C_k,
+# so the chain to the fit's target tensor is the implicit derivative of
+# the argmin: at the optimum (residual ~ 0 on the fields the render
+# path accepts — fit_error gates the kernel path), J^T(ss - M) = 0
+# differentiates to  d theta = H^+ J^T d ss  with H = J^T J, giving
+#     d_ss = J H^+ g.
+# H has Khatri-Rao structure: its matvec needs only KxK Gram matrices
+# (no 18k^2 materialization), so a plain CG solves it in milliseconds.
+# The render is gauge-invariant along the CP scaling indeterminacy, so
+# g lies in range(H) and CG from 0 stays there; a tiny ridge guards f32
+# kernel noise. d_ss is then the gradient wrt the supersampled grid,
+# which chains to raw voxels through _upsample2's linear VJP
+# (fit_medium_vjp below).
+# ---------------------------------------------------------------------------
+
+
+def _cp_fit_vjp_dense(A, B, C, gA, gB, gC, cg_iters=400, tol=1e-10,
+                      ridge_rel=1e-12):
+    """d_ss = J_M H^+ g at the fit (A (Z,K), B (Y,K), C (X,K), f64).
+    Returns (d_ss (Z,Y,X) f64, cg_residual_rel)."""
+    A, B, C = (np.asarray(f, np.float64) for f in (A, B, C))
+    g = (np.asarray(gA, np.float64), np.asarray(gB, np.float64),
+         np.asarray(gC, np.float64))
+    GA, GB, GC = A.T @ A, B.T @ B, C.T @ C
+    lam = ridge_rel * (np.trace(GB * GC) + np.trace(GA * GC)
+                       + np.trace(GA * GB)) / max(A.shape[1], 1)
+
+    def matvec(x):
+        xA, xB, xC = x
+        hA = xA @ (GB * GC) + A @ ((xB.T @ B) * GC + GB * (xC.T @ C))
+        hB = xB @ (GA * GC) + B @ ((xA.T @ A) * GC + GA * (xC.T @ C))
+        hC = xC @ (GA * GB) + C @ ((xA.T @ A) * GB + GA * (xB.T @ B))
+        return (hA + lam * xA, hB + lam * xB, hC + lam * xC)
+
+    def dot(u, v):
+        return sum(float(np.sum(a * b)) for a, b in zip(u, v))
+
+    x = tuple(np.zeros_like(gi) for gi in g)
+    r = g
+    p = tuple(ri.copy() for ri in r)
+    rs = dot(r, r)
+    g_norm = max(np.sqrt(rs), 1e-300)
+    for _ in range(cg_iters):
+        hp = matvec(p)
+        alpha = rs / max(dot(p, hp), 1e-300)
+        x = tuple(xi + alpha * pi for xi, pi in zip(x, p))
+        r = tuple(ri - alpha * hi for ri, hi in zip(r, hp))
+        rs_new = dot(r, r)
+        if np.sqrt(rs_new) < tol * g_norm:
+            rs = rs_new
+            break
+        p = tuple(ri + (rs_new / rs) * pi for ri, pi in zip(r, p))
+        rs = rs_new
+    xA, xB, xC = x
+    d_ss = (np.einsum("zk,yk,xk->zyx", xA, B, C)
+            + np.einsum("zk,yk,xk->zyx", A, xB, C)
+            + np.einsum("zk,yk,xk->zyx", A, B, xC))
+    return d_ss, float(np.sqrt(rs) / g_norm)
+
+
+def fit_medium_vjp(med, rank: int = 48):
+    """fit_medium plus the VJP closure to the raw density voxels.
+
+    Returns (cp_pack (3*rank, 128) f32, fit_error,
+             vjp(d_cp) -> (d_density (Z,Y,X) f32, d_scale float)):
+    d_cp is the (3*rank, 128) factor cotangent from the backward
+    kernel (vrl_sum_pallas_hetero_bwd's d_fac, already chained through
+    any dens_scale multiplier). The closure runs the implicit CG solve
+    in f64 on the host, then maps the supersampled-grid cotangent to
+    voxels through _upsample2's linear VJP and splits off d_scale
+    (the factors carry scale^(1/3) each, i.e. the fit target is
+    ss_scaled = scale * upsample2(density))."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from alvrl_tpu.media import heterogeneous as gmed
+
+    factors, err = fit_medium(med, rank)
+    density = np.asarray(med.density, np.float32)
+    scale = float(med.scale)
+    nz, ny, nx = (2 * s - 1 for s in density.shape)
+    cp_pack = np.asarray(factors, np.float32).reshape(3 * rank, MAX_AXIS)
+
+    def vjp(d_cp):
+        d_cp = np.asarray(d_cp, np.float64).reshape(3, rank, MAX_AXIS)
+        A = factors[0, :, :nz].T
+        B = factors[1, :, :ny].T
+        C = factors[2, :, :nx].T
+        gA = d_cp[0, :, :nz].T
+        gB = d_cp[1, :, :ny].T
+        gC = d_cp[2, :, :nx].T
+        d_ss_scaled, _res = _cp_fit_vjp_dense(A, B, C, gA, gB, gC)
+        ss = np.asarray(gmed._upsample2(_jnp.asarray(density)),
+                        np.float64)
+        d_scale = float(np.sum(d_ss_scaled * ss))
+        _, up_vjp = _jax.vjp(gmed._upsample2, _jnp.asarray(density))
+        (d_density,) = up_vjp(_jnp.asarray(d_ss_scaled, _jnp.float32)
+                              * np.float32(scale))
+        return np.asarray(d_density, np.float32), d_scale
+
+    return cp_pack, err, vjp
+
+
+class WarmCPFitter:
+    """Per-step CP machinery for density-optimization loops.
+
+    Each optimizer step changes the density, so the factors must be
+    refit; cold ALS every step is wasteful and (worse) can hop between
+    CP gauge branches, making consecutive gradients inconsistent.
+    This fitter warm-starts ALS from the previous step's factors (the
+    continuous argmin branch the implicit VJP differentiates) and
+    returns the same (cp_pack, err, vjp) contract as fit_medium_vjp.
+    """
+
+    def __init__(self, rank: int = 48, iters_cold: int = 120,
+                 iters_warm: int = 25, cg_iters: int = 600,
+                 ridge_rel: float = 1e-10):
+        self.rank = rank
+        self.iters_cold = iters_cold
+        self.iters_warm = iters_warm
+        self.cg_iters = cg_iters
+        self.ridge_rel = ridge_rel
+        self._factors = None  # (A (Z,K), B (Y,K), C (X,K)) of scaled ss
+
+    def fit(self, density, scale=1.0):
+        """density: (Z,Y,X) concrete array. Returns (cp_pack
+        (3*rank, 128) f32 — scale folded, err, vjp(d_cp) ->
+        (d_density, d_scale))."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from alvrl_tpu.media import heterogeneous as gmed
+
+        density = np.asarray(density, np.float32)
+        scale = float(scale)
+        ss = np.asarray(gmed._upsample2(_jnp.asarray(density)),
+                        np.float64)
+        ss_scaled = scale * ss
+        if max(ss.shape) > MAX_AXIS:
+            raise ValueError(f"axis {ss.shape} > {MAX_AXIS}")
+        if self._factors is None:
+            A, B, C = _als(ss_scaled, self.rank, iters=self.iters_cold,
+                           seed=0)
+        else:
+            A, B, C = _als(ss_scaled, self.rank, iters=self.iters_warm,
+                           init=self._factors)
+        self._factors = (A, B, C)
+        R = reconstruct(A, B, C)
+        denom = max(float(np.sqrt((ss_scaled ** 2).mean())), 1e-12)
+        err = float(np.sqrt(((R - ss_scaled) ** 2).mean())) / denom
+        nz, ny, nx = ss.shape
+        pack = np.zeros((3, self.rank, MAX_AXIS), np.float32)
+        pack[0, :, :nz] = A.T
+        pack[1, :, :ny] = B.T
+        pack[2, :, :nx] = C.T
+        cp_pack = pack.reshape(3 * self.rank, MAX_AXIS)
+
+        def vjp(d_cp):
+            d_cp = np.asarray(d_cp, np.float64).reshape(
+                3, self.rank, MAX_AXIS)
+            d_ss_scaled, _res = _cp_fit_vjp_dense(
+                A, B, C, d_cp[0, :, :nz].T, d_cp[1, :, :ny].T,
+                d_cp[2, :, :nx].T, cg_iters=self.cg_iters,
+                ridge_rel=self.ridge_rel)
+            d_scale = float(np.sum(d_ss_scaled * ss))
+            _, up_vjp = _jax.vjp(gmed._upsample2,
+                                 _jnp.asarray(density))
+            (d_density,) = up_vjp(
+                _jnp.asarray(d_ss_scaled, _jnp.float32)
+                * np.float32(scale))
+            return np.asarray(d_density, np.float32), d_scale
+
+        return cp_pack, err, vjp
