@@ -112,6 +112,70 @@ def build_slice_info(scene: Scene, params: ALVRLParams) -> SliceInfo:
     return SliceInfo(slices, repr_rows, slice_u, global_pu, localities)
 
 
+def build_R_device(
+    scene: Scene,
+    vrls: VRLs,
+    params: ALVRLParams,
+    cfg: VRLConfig,
+    slice_info: SliceInfo,
+    use_pallas: bool = False,
+    r_key=None,
+):
+    """DEVICE stage of the clustered prepass: the transfer matrix over
+    the representative pixels. Returns (r_mean, r_var) as device
+    arrays (bf16 when r_transfer_half) WITHOUT blocking — the caller
+    decides when to pay the device->host transfer, which is what the
+    pipelined multi-pass driver overlaps with the previous pass's
+    render (VERDICT r04 item 6)."""
+    cam = scene.camera
+    w = cam.width
+    repr_rows = slice_info.repr_rows
+    all_rows = (np.concatenate(repr_rows) if repr_rows
+                else np.zeros((0,), np.int64))
+    px = jnp.asarray(all_rows % w, jnp.int32)
+    py = jnp.asarray(all_rows // w, jnp.int32)
+    ray_o, ray_d = perspective.sample_ray(cam, px, py)
+    r_builder = build_R_pallas if use_pallas else build_R
+    if r_key is None:
+        r_key = rng.fold(jax.random.key(params.seed), 11)
+    r_mean, r_var = r_builder(scene, ray_o, ray_d, vrls, r_key, cfg)
+    if params.r_transfer_half:
+        # on-device downcast -> half the transfer bytes; upcast on host
+        r_mean = r_mean.astype(jnp.bfloat16)
+        r_var = r_var.astype(jnp.bfloat16)
+    return r_mean, r_var
+
+
+def cluster_from_R(
+    r_mean_host: np.ndarray,
+    r_var_host: np.ndarray,
+    params: ALVRLParams,
+    slice_info: SliceInfo,
+    host_rng=None,
+    use_pallas: bool = False,
+):
+    """HOST stage of the clustered prepass: adaptive refinement on the
+    transferred R. Pure host compute (numpy + the native refiner) —
+    safe to run concurrently with enqueued device work."""
+    p = params.cluster
+    repr_rows = slice_info.repr_rows
+    if host_rng is None:
+        host_rng = np.random.default_rng(params.seed + 13)
+
+    rows_per_slice = []
+    off = 0
+    for rr in repr_rows:
+        rows_per_slice.append(np.arange(off, off + len(rr)))
+        off += len(rr)
+
+    slice_ids, slice_ws, fb_ids, fb_w, gc_ids, gc_w = cl.build_clusters(
+        r_mean_host, r_var_host, rows_per_slice, slice_info.slice_u,
+        slice_info.global_pu, slice_info.localities, p, host_rng,
+    )
+    return _pack_tables(slice_info, slice_ids, slice_ws, fb_ids, fb_w,
+                        gc_ids, gc_w, use_pallas)
+
+
 def prepare_clustering(
     scene: Scene,
     vrls: VRLs,
@@ -126,47 +190,25 @@ def prepare_clustering(
     as device arrays (fallback appended as the last table row).
     Pass a cached `slice_info` to skip the per-pass slicing.
     use_pallas builds R through the pair kernel's R mode
-    (integrator.build_R_pallas)."""
-    p = params.cluster
-    cam = scene.camera
-    w, h = cam.width, cam.height
+    (integrator.build_R_pallas).
 
+    This serial convenience wrapper = build_R_device -> transfer ->
+    cluster_from_R; the pipelined driver (render_alvrl_progressive)
+    calls the stages directly to overlap them across passes."""
     if slice_info is None:
         slice_info = build_slice_info(scene, params)
-    slices = slice_info.slices
-    repr_rows = slice_info.repr_rows
-    slice_u = slice_info.slice_u
-    global_pu = slice_info.global_pu
-    localities = slice_info.localities
-    host_rng = np.random.default_rng(params.seed + 13)
 
-    # R over all representative pixels at once (device)
-    all_rows = np.concatenate(repr_rows) if repr_rows else np.zeros((0,), np.int64)
-    px = jnp.asarray(all_rows % w, jnp.int32)
-    py = jnp.asarray(all_rows // w, jnp.int32)
-    ray_o, ray_d = perspective.sample_ray(cam, px, py)
-    r_builder = build_R_pallas if use_pallas else build_R
-    r_mean, r_var = r_builder(
-        scene, ray_o, ray_d, vrls, rng.fold(jax.random.key(params.seed), 11), cfg
-    )
-    if params.r_transfer_half:
-        # on-device downcast -> half the transfer bytes; upcast on host
-        r_mean = r_mean.astype(jnp.bfloat16)
-        r_var = r_var.astype(jnp.bfloat16)
+    r_mean, r_var = build_R_device(scene, vrls, params, cfg, slice_info,
+                                   use_pallas=use_pallas)
     r_mean = np.asarray(r_mean).astype(np.float64)
     r_var = np.asarray(r_var).astype(np.float64)
+    return cluster_from_R(r_mean, r_var, params, slice_info,
+                          use_pallas=use_pallas)
 
-    # rows_per_slice: indices into the concatenated R
-    rows_per_slice = []
-    off = 0
-    for rr in repr_rows:
-        rows_per_slice.append(np.arange(off, off + len(rr)))
-        off += len(rr)
 
-    slice_ids, slice_ws, fb_ids, fb_w, gc_ids, gc_w = cl.build_clusters(
-        r_mean, r_var, rows_per_slice, slice_u, global_pu,
-        localities, p, host_rng,
-    )
+def _pack_tables(slice_info, slice_ids, slice_ws, fb_ids, fb_w,
+                 gc_ids, gc_w, use_pallas):
+    slices = slice_info.slices
     info = cl.pack_cluster_info(
         slices.pixel_to_slice, slice_ids, slice_ws, fb_ids, fb_w, gc_ids, gc_w
     )
@@ -265,3 +307,116 @@ def render_alvrl(
             img.shape
         )
     return img, vrls, info
+
+
+def render_alvrl_progressive(
+    scene: Scene,
+    n_passes: int,
+    key=None,
+    params: ALVRLParams = None,
+    cfg: VRLConfig = VRLConfig(),
+    tracer_cfg: TracerConfig = TracerConfig(),
+    ray_tile: int = 2048,
+    use_pallas: bool = False,
+    host_bands: int = 1,
+    timings: dict = None,
+):
+    """Multi-pass clustered render with the host stage PIPELINED
+    against the device (VERDICT r04 next-round item 6).
+
+    The serial per-pass chain is trace -> R build -> R transfer ->
+    host clustering -> clustered render; on a weak host the transfer +
+    native refinement alone can exceed a whole unclustered pass
+    (VALIDATION.md "measured bound"). The passes are independent given
+    the retrace, so this driver software-pipelines them: each
+    iteration first ENQUEUES pass k+1's trace + R build and pass k's
+    render (device, in-order), then transfers R_{k+1} (completes
+    before the render does) and runs the host clustering for pass k+1
+    while the device renders pass k. Steady-state wall per pass ~
+    max(device stages, host stages) instead of their sum. Slicing /
+    representative pixels / localities are computed ONCE (amortized
+    across passes; the reference rebuilds slices per pass only because
+    its prepass is monolithic — the gather geometry does not change).
+
+    Returns (mean image over passes, last vrls, last info).
+    `timings`, if a dict, receives per-stage wall sums.
+    """
+    import time as _time
+
+    if params is None:
+        params = ALVRLParams()
+    if key is None:
+        key = jax.random.key(params.seed)
+
+    if use_pallas:
+        from alvrl_tpu.integrators.vrl.integrator import (
+            render_clustered_pallas,
+        )
+
+    t = dict(slice=0.0, device_enqueue=0.0, transfer=0.0, cluster=0.0,
+             wall=0.0)
+    t_all = _time.time()
+
+    t0 = _time.time()
+    slice_info = build_slice_info(scene, params)
+    t["slice"] = _time.time() - t0
+
+    def trace_pass(k):
+        kp = rng.fold(key, 2 * k)
+        raw = trace(scene, kp, params.num_particles, tracer_cfg)
+        v = compact(raw, params.vrl_target_num,
+                    slots_per_particle=tracer_cfg.max_depth)
+        r = build_R_device(scene, v, params, cfg, slice_info,
+                           use_pallas=use_pallas,
+                           r_key=rng.fold(key, 2 * k + 1))
+        return v, r
+
+    # prologue: pass 0's VRLs + R + tables (serial)
+    vrls_k, (rm, rv) = trace_pass(0)
+    rm_h = np.asarray(rm).astype(np.float64)
+    rv_h = np.asarray(rv).astype(np.float64)
+    tables_k = cluster_from_R(rm_h, rv_h, params, slice_info,
+                              use_pallas=use_pallas)
+
+    acc = None
+    info = None
+    for k in range(n_passes):
+        # 1. enqueue pass k+1's device work FIRST (trace + R build)
+        nxt = None
+        t0 = _time.time()
+        if k + 1 < n_passes:
+            nxt = trace_pass(k + 1)
+
+        # 2. enqueue pass k's render (runs after R_{k+1} on-device;
+        #    the host never blocks on it inside the loop)
+        sop, tv, tw, info = tables_k
+        k_render = rng.fold(key, 100000 + k)
+        if use_pallas:
+            img = render_clustered_pallas(scene, vrls_k, sop, tv, tw,
+                                          k_render, cfg)
+        else:
+            img = render_clustered(scene, vrls_k, sop, tv, tw,
+                                   k_render, cfg, ray_tile=ray_tile,
+                                   host_bands=host_bands)
+        acc = img if acc is None else acc + img
+        t["device_enqueue"] += _time.time() - t0
+
+        # 3. transfer R_{k+1} (ready before the render finishes) and
+        #    run the host clustering WHILE the device renders pass k
+        if nxt is not None:
+            vrls_next, (rm, rv) = nxt
+            t0 = _time.time()
+            rm_h = np.asarray(rm).astype(np.float64)
+            rv_h = np.asarray(rv).astype(np.float64)
+            t["transfer"] += _time.time() - t0
+            t0 = _time.time()
+            tables_k = cluster_from_R(rm_h, rv_h, params, slice_info,
+                                      use_pallas=use_pallas)
+            t["cluster"] += _time.time() - t0
+            vrls_k = vrls_next
+
+    img = np.asarray(acc) / n_passes
+    t["wall"] = _time.time() - t_all
+    if timings is not None:
+        timings.update(t)
+    return jnp.asarray(img), vrls_k, info

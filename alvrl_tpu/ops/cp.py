@@ -123,6 +123,41 @@ def fit_medium(med, rank: int = 48):
 # ---------------------------------------------------------------------------
 
 
+def _up1_np(a, axis):
+    """numpy twin of media.heterogeneous._up1 (same arithmetic)."""
+    a = np.moveaxis(np.asarray(a), axis, 0)
+    n = a.shape[0]
+    out = np.zeros((2 * n - 1,) + a.shape[1:], a.dtype)
+    out[::2] = a
+    out[1::2] = 0.5 * (a[:-1] + a[1:])
+    return np.moveaxis(out, 0, axis)
+
+
+def _upsample2_np(d):
+    return _up1_np(_up1_np(_up1_np(d, 0), 1), 2)
+
+
+def _up1_T(dy, axis):
+    """numpy adjoint of media.heterogeneous._up1 (midpoint insertion,
+    n -> 2n-1): dx[i] = dy[2i] + 0.5 dy[2i-1] + 0.5 dy[2i+1]. Kept in
+    numpy so the host-side gradient chain never dispatches through the
+    (high-latency, tunnel-attached) accelerator."""
+    dy = np.moveaxis(np.asarray(dy), axis, 0)
+    n = (dy.shape[0] + 1) // 2
+    dx = np.zeros((n,) + dy.shape[1:], dy.dtype)
+    dx += 0.0
+    dx[:] = dy[::2]
+    mid = dy[1::2]
+    dx[:-1] += 0.5 * mid
+    dx[1:] += 0.5 * mid
+    return np.moveaxis(dx, 0, axis)
+
+
+def _upsample2_T(d_ss):
+    """Adjoint of _upsample2 ((2Z-1,2Y-1,2X-1) cotangent -> (Z,Y,X))."""
+    return _up1_T(_up1_T(_up1_T(d_ss, 2), 1), 0)
+
+
 def _cp_fit_vjp_dense(A, B, C, gA, gB, gC, cg_iters=400, tol=1e-10,
                       ridge_rel=1e-12):
     """d_ss = J_M H^+ g at the fit (A (Z,K), B (Y,K), C (X,K), f64).
@@ -179,11 +214,6 @@ def fit_medium_vjp(med, rank: int = 48):
     voxels through _upsample2's linear VJP and splits off d_scale
     (the factors carry scale^(1/3) each, i.e. the fit target is
     ss_scaled = scale * upsample2(density))."""
-    import jax as _jax
-    import jax.numpy as _jnp
-
-    from alvrl_tpu.media import heterogeneous as gmed
-
     factors, err = fit_medium(med, rank)
     density = np.asarray(med.density, np.float32)
     scale = float(med.scale)
@@ -199,12 +229,9 @@ def fit_medium_vjp(med, rank: int = 48):
         gB = d_cp[1, :, :ny].T
         gC = d_cp[2, :, :nx].T
         d_ss_scaled, _res = _cp_fit_vjp_dense(A, B, C, gA, gB, gC)
-        ss = np.asarray(gmed._upsample2(_jnp.asarray(density)),
-                        np.float64)
+        ss = _upsample2_np(density).astype(np.float64)
         d_scale = float(np.sum(d_ss_scaled * ss))
-        _, up_vjp = _jax.vjp(gmed._upsample2, _jnp.asarray(density))
-        (d_density,) = up_vjp(_jnp.asarray(d_ss_scaled, _jnp.float32)
-                              * np.float32(scale))
+        d_density = _upsample2_T(d_ss_scaled * scale)
         return np.asarray(d_density, np.float32), d_scale
 
     return cp_pack, err, vjp
@@ -231,32 +258,62 @@ class WarmCPFitter:
         self.ridge_rel = ridge_rel
         self._factors = None  # (A (Z,K), B (Y,K), C (X,K)) of scaled ss
 
+    @staticmethod
+    def _reseed_dead(factors, tgt_rms, rng):
+        """Revive numerically dead ranks: a column that reaches ~0 in
+        any factor can never grow back under multiplicative ALS
+        updates, so a fit warm-started from a low-rank field (e.g. the
+        constant init of an optimization loop) would stay stuck while
+        the target grows structure. Dead columns are reseeded with
+        small random values so ALS can recruit them when needed."""
+        A, B, C = factors
+        prod = (np.linalg.norm(A, axis=0) * np.linalg.norm(B, axis=0)
+                * np.linalg.norm(C, axis=0))
+        dead = prod < 1e-10 * max(prod.max(), 1e-30)
+        if dead.any():
+            s = max(tgt_rms, 1e-6) ** (1.0 / 3.0) * 1e-2
+            for F in (A, B, C):
+                F[:, dead] = s * rng.uniform(0.5, 1.0,
+                                             (F.shape[0],
+                                              int(dead.sum())))
+        return A, B, C
+
     def fit(self, density, scale=1.0):
         """density: (Z,Y,X) concrete array. Returns (cp_pack
         (3*rank, 128) f32 — scale folded, err, vjp(d_cp) ->
         (d_density, d_scale))."""
-        import jax as _jax
-        import jax.numpy as _jnp
-
-        from alvrl_tpu.media import heterogeneous as gmed
-
         density = np.asarray(density, np.float32)
         scale = float(scale)
-        ss = np.asarray(gmed._upsample2(_jnp.asarray(density)),
-                        np.float64)
+        ss = _upsample2_np(density).astype(np.float64)
         ss_scaled = scale * ss
         if max(ss.shape) > MAX_AXIS:
             raise ValueError(f"axis {ss.shape} > {MAX_AXIS}")
+        rng = np.random.default_rng(0)
+        tgt_rms = float(np.sqrt((ss_scaled ** 2).mean()))
         if self._factors is None:
             A, B, C = _als(ss_scaled, self.rank, iters=self.iters_cold,
                            seed=0)
         else:
+            init = self._reseed_dead(
+                tuple(np.array(f) for f in self._factors), tgt_rms, rng)
             A, B, C = _als(ss_scaled, self.rank, iters=self.iters_warm,
-                           init=self._factors)
+                           init=init)
+
+        def rel_err(A_, B_, C_):
+            R = reconstruct(A_, B_, C_)
+            return float(np.sqrt(((R - ss_scaled) ** 2).mean())) \
+                / max(tgt_rms, 1e-12)
+
+        err = rel_err(A, B, C)
+        if self._factors is not None and err > 0.02:
+            # warm branch lost the field (e.g. dead-rank recruitment
+            # too slow for a fast-changing target): cold refit
+            A2, B2, C2 = _als(ss_scaled, self.rank,
+                              iters=self.iters_cold, seed=0)
+            err2 = rel_err(A2, B2, C2)
+            if err2 < err:
+                A, B, C, err = A2, B2, C2, err2
         self._factors = (A, B, C)
-        R = reconstruct(A, B, C)
-        denom = max(float(np.sqrt((ss_scaled ** 2).mean())), 1e-12)
-        err = float(np.sqrt(((R - ss_scaled) ** 2).mean())) / denom
         nz, ny, nx = ss.shape
         pack = np.zeros((3, self.rank, MAX_AXIS), np.float32)
         pack[0, :, :nz] = A.T
@@ -272,11 +329,7 @@ class WarmCPFitter:
                 d_cp[2, :, :nx].T, cg_iters=self.cg_iters,
                 ridge_rel=self.ridge_rel)
             d_scale = float(np.sum(d_ss_scaled * ss))
-            _, up_vjp = _jax.vjp(gmed._upsample2,
-                                 _jnp.asarray(density))
-            (d_density,) = up_vjp(
-                _jnp.asarray(d_ss_scaled, _jnp.float32)
-                * np.float32(scale))
+            d_density = _upsample2_T(d_ss_scaled * scale)
             return np.asarray(d_density, np.float32), d_scale
 
         return cp_pack, err, vjp

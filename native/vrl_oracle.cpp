@@ -22,6 +22,19 @@
 //   tris <n>           followed by n lines: p0(3) e1(3) e2(3)
 //   rays <n>           followed by n lines:
 //       o(3) d(3) hit_p(3) ng(3) albedo(3) valid(0|1)
+// Optional trailing sections (round 5 — widen the oracle to every
+// launch variant, VERDICT r04 item 2):
+//   hetero <scale> <uv_steps> <nq> <st(3)> <ss_col(3)>
+//   grid <nssz nssy nssx> <box_min(3)> <box_max(3)>
+//       followed by nssz*nssy*nssx SUPERSAMPLED density values
+//       (z-major) — grid-medium mode: supersampled-NN lookups,
+//       nq-step cumulative-OD tables + linear interp, uv_steps
+//       midpoint U<->V quadrature, pdfFailure = exp(-chan od(S->V))
+//       (media/heterogeneous.py + integrate.py:248-335 semantics)
+//   clusters <n_slices> then per slice: <n_reps> + n_reps x
+//       "<vrl_idx> <weight>" lines; then "rayslice <n_rays>" + ids —
+//       clustered mode: per-ray weighted representative sums
+//       (getClusteredVrlContributions, vrlIntegrator.cpp:542-599)
 // argv[2]: reference-format ASCII vrlFile, lines
 //   "x0 y0 z0 x1 y1 z1 r g b" (serializeAscii, VRL.h:65-73 — the
 //   format stores no particle count).
@@ -133,26 +146,111 @@ static inline double rng_u01(uint64_t* s) {
     return (double)(z >> 11) * (1.0 / 9007199254740992.0);
 }
 
+// Heterogeneous (grid) medium state — mirrors the JAX grid-media
+// conventions (media/heterogeneous.py): supersampled-NN density
+// lookups (lookup_density_nn:157-174), NQ-step midpoint cumulative-OD
+// tables with linear interpolation (cumulative_od:325-375), fresh
+// uv_steps midpoint quadrature for the U<->V segment, and
+// pdfFailure = exp(-chan * od(S->V)) with chan = mean sigma_t
+// (integrate.py:257-267). The supersampled grid itself is a shared
+// INPUT (exported by the test); the independent re-implementation is
+// the indexing, quadrature, tables, and estimator wiring.
+struct Grid {
+    int hetero = 0;
+    double scale = 1.0;
+    int uv_steps = 4, nq = 16;
+    double st[3], ss_col[3];  // sigma_t_color, sigma_s_color
+    double chan;
+    int nz = 0, ny = 0, nx = 0;        // supersampled dims
+    V3 bmin, bmax;
+    std::vector<double> ss;            // [z][y][x]
+
+    double dens(V3 p) const {
+        double qx = (p.x - bmin.x) / (bmax.x - bmin.x);
+        double qy = (p.y - bmin.y) / (bmax.y - bmin.y);
+        double qz = (p.z - bmin.z) / (bmax.z - bmin.z);
+        if (qx < 0.0 || qx > 1.0 || qy < 0.0 || qy > 1.0 || qz < 0.0
+            || qz > 1.0)
+            return 0.0;
+        auto idx = [](double q, int n) {
+            long i = std::lround(q * (n - 1));
+            if (i < 0) i = 0;
+            if (i > n - 1) i = n - 1;
+            return (int)i;
+        };
+        int ix = idx(qx, nx), iy = idx(qy, ny), iz = idx(qz, nz);
+        return scale * ss[((size_t)iz * ny + iy) * nx + ix];
+    }
+
+    // midpoint-rule OD over [a, b] with n steps (optical_depth:292-322)
+    double od(V3 a, V3 b, int n) const {
+        V3 d = b - a;
+        double dist = len(d);
+        double total = 0.0;
+        for (int i = 0; i < n; ++i) {
+            double t = (i + 0.5) / n;
+            total += dens(a + d * t);
+        }
+        return total * dist / n;
+    }
+
+    // cumulative table: cum[k] = OD of the first k/nq of [a, b]
+    void table(V3 a, V3 b, std::vector<double>& cum) const {
+        V3 d = b - a;
+        double dist = len(d);
+        cum.assign(nq + 1, 0.0);
+        for (int i = 0; i < nq; ++i) {
+            double t = (i + 0.5) / nq;
+            cum[i + 1] = cum[i] + dens(a + d * t);
+        }
+        for (int i = 0; i <= nq; ++i) cum[i] *= dist / nq;
+    }
+
+    double interp(const std::vector<double>& cum, double frac) const {
+        double x = std::min(std::max(frac, 0.0), 1.0) * nq;
+        int k0 = (int)std::floor(x);
+        if (k0 > nq - 1) k0 = nq - 1;
+        double w = x - k0;
+        return cum[k0] * (1.0 - w) + cum[k0 + 1] * w;
+    }
+};
+
+// Per-slice clustered representative sets (the render-time clustered
+// lookup, getClusteredVrlContributions vrlIntegrator.cpp:542-599:
+// per-ray slice id -> sum of weight_i * integrateVRL(ray, vrl_i)).
+struct Clusters {
+    int enabled = 0;
+    std::vector<std::vector<std::pair<int, double>>> slices;
+    std::vector<int> ray_slice;
+};
+
 struct Params {
     double sa[3], ss[3], st[3], g, msw;
     int s_vv, s_vs, short_vrls;
     double u_fix;
     const std::vector<Tri>* tris;
     const std::vector<Vrl>* vrls;
+    const Grid* grid = nullptr;
 };
 
 static const double H_EPS = 1e-6;
 
-// One ray's full VRL sum. rng == nullptr -> fixed uniforms (test mode).
-static void eval_ray(const Params& P, const Ray& r, double out[3],
-                     uint64_t* rng) {
-    out[0] = out[1] = out[2] = 0.0;
-    if (!r.valid) return;
+// One (ray, vrl) pair's contribution, scaled by `weight` (clustered
+// representative weight; 1 for the unclustered sum). eye_tab: the
+// per-ray cumulative-OD table (hetero only). rng == nullptr -> fixed
+// uniforms (test mode).
+static void eval_pair(const Params& P, const Ray& r, V3 evec,
+                      double elen, const std::vector<double>& eye_tab,
+                      const Vrl& vr, double weight, double out[3],
+                      uint64_t* rng) {
     const double* ss = P.ss;
     const double* st = P.st;
-    V3 evec = r.hit - r.o;
-    double elen = std::max(len(evec), 1e-15);
-    for (const Vrl& vr : *P.vrls) {
+    const Grid* G = P.grid;
+    const bool het = G && G->hetero;
+    if (het) { ss = G->ss_col; st = G->st; }
+    std::vector<double> vtab;
+    if (het) G->table(vr.s, vr.e, vtab);
+    {
         V3 vd = vr.e - vr.s;
         double vlen = std::max(len(vd), 1e-15);
         V3 vu = vd * (1.0 / vlen);
@@ -243,18 +341,34 @@ static void eval_ray(const Params& P, const Ray& r, double out[3],
             double ph_u = hg(P.g, dot(vudir, eu));
             double ph_v = hg(P.g, -dot(vu, vudir));
             double geo = ph_u * ph_v / std::max(pdf * d_uv2, 1e-30);
-            if (P.short_vrls) {
-                double pf = (std::exp(-st[0] * d_sv)
-                             + std::exp(-st[1] * d_sv)
-                             + std::exp(-st[2] * d_sv)) / 3.0;
-                pf = P.msw * pf + (1.0 - P.msw);
-                geo /= std::max(pf, 1e-30);
-            }
-            double ddist = d_eu + d_uv + d_sv;
             const double* pw = &vr.power.x;
-            for (int ch = 0; ch < 3; ++ch)
-                out[ch] += pw[ch] * ss[ch] * ss[ch]
-                    * std::exp(-st[ch] * ddist) * geo / P.s_vv;
+            if (het) {
+                double od_eu = G->interp(eye_tab, d_eu / elen);
+                double od_sv = G->interp(
+                    vtab, std::min(std::max(arc_v / vlen, 0.0), 1.0));
+                double od_uv = G->od(upt, vpt, G->uv_steps);
+                double dens_u = G->dens(upt);
+                double dens_v = G->dens(vpt);
+                if (P.short_vrls)  // grid pdfFailure, no msw mixture
+                    geo /= std::max(std::exp(-G->chan * od_sv), 1e-30);
+                double od_all = od_eu + od_uv + od_sv;
+                for (int ch = 0; ch < 3; ++ch)
+                    out[ch] += weight * pw[ch] * (ss[ch] * dens_v)
+                        * (ss[ch] * dens_u)
+                        * std::exp(-st[ch] * od_all) * geo / P.s_vv;
+            } else {
+                if (P.short_vrls) {
+                    double pf = (std::exp(-st[0] * d_sv)
+                                 + std::exp(-st[1] * d_sv)
+                                 + std::exp(-st[2] * d_sv)) / 3.0;
+                    pf = P.msw * pf + (1.0 - P.msw);
+                    geo /= std::max(pf, 1e-30);
+                }
+                double ddist = d_eu + d_uv + d_sv;
+                for (int ch = 0; ch < 3; ++ch)
+                    out[ch] += weight * pw[ch] * ss[ch] * ss[ch]
+                        * std::exp(-st[ch] * ddist) * geo / P.s_vv;
+            }
         }
 
         // ---- vol-surf samples ----
@@ -289,25 +403,76 @@ static void eval_ray(const Params& P, const Ray& r, double out[3],
             double ph_v = hg(P.g, -dot(vu, vudir));
             double geo = ph_v * cos_o * (1.0 / M_PI)
                 / std::max(pdf_v * d_uv2, 1e-30);
-            if (P.short_vrls) {
-                double pf = (std::exp(-st[0] * d_sv)
-                             + std::exp(-st[1] * d_sv)
-                             + std::exp(-st[2] * d_sv)) / 3.0;
-                pf = P.msw * pf + (1.0 - P.msw);
-                geo /= std::max(pf, 1e-30);
-            }
-            // tau(E -> Usurf) with the VRL medium (the reference's
-            // same-medium quirk, vrlIntegrator.cpp:714)
-            double ddist = d_uv + d_sv;
             const double* pw = &vr.power.x;
             const double* albp = &r.alb.x;
-            for (int ch = 0; ch < 3; ++ch) {
-                double tau_eu = std::exp(-st[ch] * elen);
-                out[ch] += pw[ch] * ss[ch] * albp[ch] * tau_eu
-                    * std::exp(-st[ch] * ddist) * geo / P.s_vs;
+            if (het) {
+                double od_sv = G->interp(
+                    vtab, std::min(std::max(arc_v / vlen, 0.0), 1.0));
+                double od_uv = G->od(r.hit, vpt, G->uv_steps);
+                double dens_v = G->dens(vpt);
+                if (P.short_vrls)
+                    geo /= std::max(std::exp(-G->chan * od_sv), 1e-30);
+                double od_all = od_uv + od_sv;
+                for (int ch = 0; ch < 3; ++ch) {
+                    // tau(E->Usurf): the full eye table (same-medium
+                    // quirk, vrlIntegrator.cpp:714)
+                    double tau_eu =
+                        std::exp(-st[ch] * eye_tab[G->nq]);
+                    out[ch] += weight * pw[ch] * (ss[ch] * dens_v)
+                        * albp[ch] * tau_eu
+                        * std::exp(-st[ch] * od_all) * geo / P.s_vs;
+                }
+            } else {
+                if (P.short_vrls) {
+                    double pf = (std::exp(-st[0] * d_sv)
+                                 + std::exp(-st[1] * d_sv)
+                                 + std::exp(-st[2] * d_sv)) / 3.0;
+                    pf = P.msw * pf + (1.0 - P.msw);
+                    geo /= std::max(pf, 1e-30);
+                }
+                // tau(E -> Usurf) with the VRL medium (the reference's
+                // same-medium quirk, vrlIntegrator.cpp:714)
+                double ddist = d_uv + d_sv;
+                for (int ch = 0; ch < 3; ++ch) {
+                    double tau_eu = std::exp(-st[ch] * elen);
+                    out[ch] += weight * pw[ch] * ss[ch] * albp[ch]
+                        * tau_eu
+                        * std::exp(-st[ch] * ddist) * geo / P.s_vs;
+                }
             }
         }
     }
+}
+
+// One ray's full unclustered VRL sum.
+static void eval_ray(const Params& P, const Ray& r, double out[3],
+                     uint64_t* rng) {
+    out[0] = out[1] = out[2] = 0.0;
+    if (!r.valid) return;
+    V3 evec = r.hit - r.o;
+    double elen = std::max(len(evec), 1e-15);
+    std::vector<double> eye_tab;
+    if (P.grid && P.grid->hetero) P.grid->table(r.o, r.hit, eye_tab);
+    for (const Vrl& vr : *P.vrls)
+        eval_pair(P, r, evec, elen, eye_tab, vr, 1.0, out, rng);
+}
+
+// Clustered: per-ray slice id -> weighted representative sum
+// (getClusteredVrlContributions, vrlIntegrator.cpp:542-599).
+static void eval_ray_clustered(const Params& P, const Clusters& Cl,
+                               int ri, const Ray& r, double out[3],
+                               uint64_t* rng) {
+    out[0] = out[1] = out[2] = 0.0;
+    if (!r.valid) return;
+    int sid = Cl.ray_slice[ri];
+    if (sid < 0 || sid >= (int)Cl.slices.size()) return;
+    V3 evec = r.hit - r.o;
+    double elen = std::max(len(evec), 1e-15);
+    std::vector<double> eye_tab;
+    if (P.grid && P.grid->hetero) P.grid->table(r.o, r.hit, eye_tab);
+    for (const auto& rep : Cl.slices[sid])
+        eval_pair(P, r, evec, elen, eye_tab, (*P.vrls)[rep.first],
+                  rep.second, out, rng);
 }
 
 int main(int argc, char** argv) {
@@ -357,6 +522,57 @@ int main(int argc, char** argv) {
                         &r.ng.z, &r.alb.x, &r.alb.y, &r.alb.z,
                         &r.valid) != 16)
             return 2;
+
+    // optional trailing sections: "hetero" (grid medium) / "clusters"
+    Grid grid;
+    Clusters clusters;
+    while (std::fscanf(f, "%31s", tag) == 1) {
+        if (!std::strcmp(tag, "hetero")) {
+            grid.hetero = 1;
+            if (std::fscanf(f, "%lf %d %d %lf %lf %lf %lf %lf %lf",
+                            &grid.scale, &grid.uv_steps, &grid.nq,
+                            &grid.st[0], &grid.st[1], &grid.st[2],
+                            &grid.ss_col[0], &grid.ss_col[1],
+                            &grid.ss_col[2]) != 9)
+                return 2;
+            grid.chan = (grid.st[0] + grid.st[1] + grid.st[2]) / 3.0;
+            char gt[32];
+            if (std::fscanf(f, "%31s %d %d %d %lf %lf %lf %lf %lf %lf",
+                            gt, &grid.nz, &grid.ny, &grid.nx,
+                            &grid.bmin.x, &grid.bmin.y, &grid.bmin.z,
+                            &grid.bmax.x, &grid.bmax.y, &grid.bmax.z)
+                    != 10 || std::strcmp(gt, "grid"))
+                return 2;
+            grid.ss.resize((size_t)grid.nz * grid.ny * grid.nx);
+            for (double& v : grid.ss)
+                if (std::fscanf(f, "%lf", &v) != 1) return 2;
+        } else if (!std::strcmp(tag, "clusters")) {
+            clusters.enabled = 1;
+            int n_slices;
+            if (std::fscanf(f, "%d", &n_slices) != 1) return 2;
+            clusters.slices.resize(n_slices);
+            for (auto& sl : clusters.slices) {
+                int n_reps;
+                if (std::fscanf(f, "%d", &n_reps) != 1) return 2;
+                sl.resize(n_reps);
+                for (auto& rep : sl)
+                    if (std::fscanf(f, "%d %lf", &rep.first,
+                                    &rep.second) != 2)
+                        return 2;
+            }
+            char rt[32];
+            int n_rs;
+            if (std::fscanf(f, "%31s %d", rt, &n_rs) != 2
+                || std::strcmp(rt, "rayslice") || n_rs != n_rays)
+                return 2;
+            clusters.ray_slice.resize(n_rs);
+            for (int& s : clusters.ray_slice)
+                if (std::fscanf(f, "%d", &s) != 1) return 2;
+        } else {
+            std::fprintf(stderr, "unknown section %s\n", tag);
+            return 2;
+        }
+    }
     std::fclose(f);
 
     // reference ASCII vrlFile (VRL.h:43-73): particle count line, then
@@ -384,6 +600,7 @@ int main(int argc, char** argv) {
     P.s_vv = s_vv; P.s_vs = s_vs; P.short_vrls = short_vrls;
     P.u_fix = u_fix;
     P.tris = &tris; P.vrls = &vrls;
+    P.grid = grid.hetero ? &grid : nullptr;
 
     if (argc >= 6 && !std::strcmp(argv[4], "--bench")) {
         int reps = std::atoi(argv[5]);
@@ -423,9 +640,12 @@ int main(int argc, char** argv) {
         return 0;
     }
 
-    for (const Ray& r : rays) {
+    for (int ri = 0; ri < n_rays; ++ri) {
         double out[3];
-        eval_ray(P, r, out, nullptr);
+        if (clusters.enabled)
+            eval_ray_clustered(P, clusters, ri, rays[ri], out, nullptr);
+        else
+            eval_ray(P, rays[ri], out, nullptr);
         std::printf("%.10e %.10e %.10e\n", out[0] / pcount,
                     out[1] / pcount, out[2] / pcount);
     }

@@ -11,11 +11,14 @@ using use_pallas gradients end to end:
           --host--> implicit fit VJP (CG) -> per-voxel d_density
           --------> Adam step on the voxels.
 
-Two fixed views (front + side), VRLs retraced every few steps from the
-CURRENT density estimate (gradients through tracing are detached — the
-detached-sampling contract). Reference semantics for what is being
-differentiated: /root/reference/src/medium/heterogeneous.cpp:546-663
-inside vrlIntegrator.cpp:603-785.
+Four fixed views (front, two sides, top), relative-MSE image loss
+(without the normalization the near-emitter pixels dominate), Adam on
+log-density, Dirichlet smoothness prior, VRLs retraced every few steps
+from the CURRENT density estimate (gradients through tracing are
+detached — the detached-sampling contract). Reference semantics for
+what is being differentiated:
+/root/reference/src/medium/heterogeneous.cpp:546-663 inside
+vrlIntegrator.cpp:603-785.
 
 Usage: python scripts/recover_density.py [--steps N] [--res R]
        [--size S] [--out data/recover_density_result.json]
@@ -58,6 +61,10 @@ def make_views(w, h):
                fov_x_deg=jnp.float32(90.0), width=w, height=h),
         Camera(to_world=look_at([-0.99, 0, 0.0], [1, 0, 0.0], [0, 1, 0]),
                fov_x_deg=jnp.float32(90.0), width=w, height=h),
+        Camera(to_world=look_at([0.99, 0, 0.0], [-1, 0, 0.0], [0, 1, 0]),
+               fov_x_deg=jnp.float32(90.0), width=w, height=h),
+        Camera(to_world=look_at([0, 0.95, 0.2], [0, -1, 0.2], [0, 0, 1]),
+               fov_x_deg=jnp.float32(90.0), width=w, height=h),
     ]
 
 
@@ -66,7 +73,12 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--res", type=int, default=16)
     ap.add_argument("--size", type=int, default=64)
-    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--lr", type=float, default=0.1)
+    ap.add_argument("--smooth", type=float, default=2e-3,
+                    help="Dirichlet (squared-difference) smoothness "
+                         "weight: keeps the iterate in the "
+                         "CP-compressible class and regularizes the "
+                         "ill-posed two-view problem")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "data",
         "recover_density_result.json"))
@@ -112,7 +124,11 @@ def main():
             sc = sc_v.replace(medium=med)
             img = render_with_vrls_pallas_hetero_diff(
                 sc, vrls, key, cp_pack, jnp.float32(1.0), cfg, RANK)
-            return jnp.mean((img - targets[vi]) ** 2)
+            # relative MSE: without the normalization the handful of
+            # near-emitter pixels dominate and deep/dim voxels get no
+            # gradient signal
+            t = targets[vi]
+            return jnp.mean(((img - t) / (t + 0.1)) ** 2)
 
         return jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
 
@@ -121,9 +137,14 @@ def main():
     fitter = cp_mod.WarmCPFitter(rank=RANK, iters_cold=200,
                                  iters_warm=30)
 
-    # ---- Adam on the voxels ----
-    dens = np.full(dens_true.shape,
-                   float(dens_true.mean()), np.float32)
+    # ---- Adam on log-density (positivity + multiplicative updates:
+    # high-density peaks grow geometrically instead of by fixed
+    # increments, and near-zero regions cannot go negative) ----
+    LOG_MIN, LOG_MAX = np.log(1e-3), np.log(20.0)
+    theta = np.full(dens_true.shape,
+                    np.log(max(float(dens_true.mean()), 1e-3)),
+                    np.float32)
+    dens = np.exp(theta).astype(np.float32)
     m_t = np.zeros_like(dens)
     v_t = np.zeros_like(dens)
     b1, b2, eps = 0.9, 0.999, 1e-8
@@ -131,6 +152,26 @@ def main():
     def rel_err(d):
         return float(np.linalg.norm(d - dens_true)
                      / max(np.linalg.norm(dens_true), 1e-12))
+
+    def corr(d):
+        dc = d - d.mean()
+        tc = dens_true - dens_true.mean()
+        return float((dc * tc).sum()
+                     / max(np.sqrt((dc ** 2).sum() * (tc ** 2).sum()),
+                           1e-12))
+
+    def dirichlet_grad(d):
+        """grad of sum over axes of (d[i+1]-d[i])^2 (numpy, host)."""
+        g = np.zeros_like(d)
+        for ax in range(3):
+            diff = np.diff(d, axis=ax)
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[ax] = slice(0, -1)
+            hi[ax] = slice(1, None)
+            g[tuple(lo)] -= 2.0 * diff
+            g[tuple(hi)] += 2.0 * diff
+        return g
 
     hist = []
     t_fit = t_dev = t_vjp = 0.0
@@ -165,22 +206,29 @@ def main():
 
         t0 = time.time()
         d_dens_cp, _dscale = vjp(d_cp)
-        g = d_dens_od + d_dens_cp
+        g_dens = d_dens_od + d_dens_cp \
+            + args.smooth * dirichlet_grad(dens)
+        g = g_dens * dens  # chain to log-space
         t_vjp += time.time() - t0
 
         m_t = b1 * m_t + (1 - b1) * g
         v_t = b2 * v_t + (1 - b2) * g * g
         mh = m_t / (1 - b1 ** (step + 1))
         vh = v_t / (1 - b2 ** (step + 1))
-        dens = np.clip(dens - args.lr * mh / (np.sqrt(vh) + eps),
-                       0.0, None).astype(np.float32)
+        lr = args.lr * (0.2 + 0.8 * 0.5
+                        * (1 + np.cos(np.pi * step / args.steps)))
+        theta = np.clip(theta - lr * mh / (np.sqrt(vh) + eps),
+                        LOG_MIN, LOG_MAX).astype(np.float32)
+        dens = np.exp(theta).astype(np.float32)
 
         if step % 10 == 0 or step == args.steps - 1:
             re = rel_err(dens)
+            co = corr(dens)
             hist.append(dict(step=step, loss=loss_tot, rel_err=re,
-                             fit_err=fit_err))
+                             corr=co, fit_err=fit_err))
             print(f"step {step:4d} loss {loss_tot:.3e} "
-                  f"rel_err {re:.4f} fit_err {fit_err:.2e}",
+                  f"rel_err {re:.4f} corr {co:.3f} "
+                  f"fit_err {fit_err:.2e}",
                   file=sys.stderr)
 
     wall = time.time() - t_start
@@ -188,7 +236,8 @@ def main():
         steps=args.steps, res=args.res, size=args.size, rank=RANK,
         views=len(views), n_vrls=N_VRLS,
         init_rel_err=hist[0]["rel_err"] if hist else None,
-        final_rel_err=rel_err(dens), final_loss=hist[-1]["loss"],
+        final_rel_err=rel_err(dens), final_corr=corr(dens),
+        final_loss=hist[-1]["loss"],
         wall_s=wall, per_step_ms=1e3 * wall / args.steps,
         split_ms=dict(fit=1e3 * t_fit / args.steps,
                       device_grad=1e3 * t_dev / args.steps,

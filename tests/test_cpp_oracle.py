@@ -1,17 +1,25 @@
-"""Cross-implementation oracle A/B (VERDICT r03 next-round item 3).
+"""Cross-implementation oracle A/B (VERDICT r03 item 3; widened in
+round 5 per VERDICT r04 item 2).
 
 The reference CPU binary cannot be built here (Boost >= 1.47 REQUIRED
 across 86 files, none on this zero-egress box — data/
 refbuild_attempt.log holds the captured cmake failure), so the
 cross-binary bar is covered by the strongest feasible substitute: a
 standalone double-precision scalar C++ implementation of the
-unclustered homogeneous integrateVRL estimator
-(native/vrl_oracle.cpp), compiled with plain g++ at test time, fed
-the reference's ASCII vrlFile interchange format, and diffed against
-the JAX estimator at fixed uniforms to the BASELINE 1e-3 bar.
-Different language, different precision, branching scalar control
-flow vs branchless vector math — shared bugs would have to be
-transcribed twice independently."""
+integrateVRL estimator (native/vrl_oracle.cpp), compiled with plain
+g++ at test time, fed the reference's ASCII vrlFile interchange
+format, and diffed against the JAX estimator at fixed uniforms to the
+BASELINE 1e-3 bar. Different language, different precision, branching
+scalar control flow vs branchless vector math — shared bugs would
+have to be transcribed twice independently.
+
+Round-5 coverage (every launch variant cross-checked):
+  - fixed-uniform SWEEP u in {0.1, 0.3, 0.5, 0.7, 0.9}
+  - short AND long VRLs
+  - heterogeneous grid media (supersampled-NN lookups, cumulative-OD
+    tables, U<->V quadrature, grid pdfFailure)
+  - clustered weighted representative sums
+"""
 
 import subprocess
 import sys
@@ -41,31 +49,41 @@ def oracle_bin(tmp_path_factory):
     return str(out)
 
 
-def test_cpp_oracle_matches_xla(oracle_bin, tmp_path):
-    scene = presets.cornell_smoke(width=16, height=8)
-    scene = scene.replace(medium=scene.medium.replace(g=jnp.float32(0.3)))
-    scene_p = mapi.prepare_scene(scene)
-    vrls = vrl_mod.compact(
-        tracer.trace(scene, jax.random.key(0), 24,
-                     tracer.TracerConfig(max_depth=8)),
-        None)
-    cfg = VRLConfig(vol_vol_samples=1, vol_surf_samples=1)
-    u_fix = 0.5
-
-    px, py = jnp.meshgrid(jnp.arange(16), jnp.arange(8))
+def _eye_rays(scene):
+    w, h = scene.camera.width, scene.camera.height
+    px, py = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
     px, py = px.reshape(-1), py.reshape(-1)
     ray_o, ray_d = perspective.sample_ray(scene.camera, px, py)
+    scene_p = mapi.prepare_scene(scene)
     hit = trace_eye_rays(scene_p, ray_o, ray_d)
-    ray_pack = np.asarray(pk.pack_rays(scene_p, ray_o, ray_d, hit))
-    n = ray_o.shape[0]
+    return scene_p, ray_o, ray_d, hit
 
-    med = scene.medium
+
+def _export_scene(scene_p, ray_o, ray_d, hit, cfg, u_fix, path,
+                  hetero=False, clusters=None):
+    """Write the oracle scene file. hetero=True appends the grid-medium
+    section (supersampled grid shared as input; indexing/quadrature
+    re-implemented in C++); clusters=(slices, ray_slice) appends the
+    clustered section."""
+    med = scene_p.medium
+    if hetero:
+        ray_pack = np.asarray(
+            pk.pack_rays_hetero(scene_p, ray_o, ray_d, hit))
+    else:
+        ray_pack = np.asarray(pk.pack_rays(scene_p, ray_o, ray_d, hit))
+    n = ray_o.shape[0]
     tris = np.asarray(pk.pack_tris(scene_p)).reshape(-1, 9)
-    lines = [
-        "medium " + " ".join(
+    if hetero:
+        med_line = ("medium 0 0 0 0 0 0 "
+                    f"{float(med.g):.9g} 1.0")
+    else:
+        med_line = "medium " + " ".join(
             f"{float(x):.9g}"
-            for x in (*np.asarray(med.sigma_a), *np.asarray(med.sigma_s),
-                      float(med.g), float(med.sampling_weight))),
+            for x in (*np.asarray(med.sigma_a),
+                      *np.asarray(med.sigma_s),
+                      float(med.g), float(med.sampling_weight)))
+    lines = [
+        med_line,
         f"config {cfg.vol_vol_samples} {cfg.vol_surf_samples} "
         f"{int(cfg.short_vrls)} {u_fix}",
         f"tris {len(tris)}",
@@ -79,43 +97,217 @@ def test_cpp_oracle_matches_xla(oracle_bin, tmp_path):
         vals += list(row[vp._ALB:vp._ALB + 3])
         lines.append(" ".join(f"{float(v):.9g}" for v in vals)
                      + f" {int(row[vp._VALID] > 0.5)}")
-    scene_file = tmp_path / "scene.txt"
-    scene_file.write_text("\n".join(lines) + "\n")
+    if hetero:
+        from alvrl_tpu.media import heterogeneous as gmed
 
-    vrl_file = tmp_path / "vrls.txt"
-    vrl_mod.save_ascii(vrls, str(vrl_file))
+        ss = np.asarray(gmed._upsample2(med.density), np.float64)
+        st = np.asarray(med.sigma_t_color)
+        ssc = np.asarray(med.sigma_s_color)
+        lines.append(
+            f"hetero {float(med.scale):.9g} {cfg.uv_tau_steps} "
+            f"{gmed.N_TAU_STEPS} "
+            + " ".join(f"{v:.9g}" for v in st) + " "
+            + " ".join(f"{v:.9g}" for v in ssc))
+        bmin = np.asarray(med.box_min)
+        bmax = np.asarray(med.box_max)
+        lines.append(
+            f"grid {ss.shape[0]} {ss.shape[1]} {ss.shape[2]} "
+            + " ".join(f"{v:.9g}" for v in bmin) + " "
+            + " ".join(f"{v:.9g}" for v in bmax))
+        flat = ss.reshape(-1)
+        for i in range(0, len(flat), 16):
+            lines.append(" ".join(f"{v:.9g}" for v in flat[i:i + 16]))
+    if clusters is not None:
+        slices, ray_slice = clusters
+        lines.append(f"clusters {len(slices)}")
+        for sl in slices:
+            lines.append(str(len(sl)))
+            for vi, w in sl:
+                lines.append(f"{vi} {w:.9g}")
+        lines.append(f"rayslice {len(ray_slice)}")
+        lines.append(" ".join(str(int(s)) for s in ray_slice))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
+
+def _run_oracle(oracle_bin, scene_file, vrl_file, pcount):
     r = subprocess.run(
-        [oracle_bin, str(scene_file), str(vrl_file),
-         str(float(vrls.particle_count))],
+        [oracle_bin, str(scene_file), str(vrl_file), str(pcount)],
         capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
-    cpp = np.loadtxt(r.stdout.splitlines())
-    assert cpp.shape == (n, 3)
+    return np.loadtxt(r.stdout.splitlines())
 
-    # JAX estimator, same fixed uniforms
+
+def _jax_fixed_u(scene_p, ray_o, ray_d, hit, vrls, cfg, u_fix,
+                 eye_od=None, vrl_od=None, weight=None):
     expand = lambda a: a[:, None] if a.ndim == 1 else a[:, None, :]
+    n = ray_o.shape[0]
     nv = vrls.capacity
     u_vv = jnp.full((n, nv, cfg.vol_vol_samples, 2), u_fix)
     u_vs = jnp.full((n, nv, cfg.vol_surf_samples), u_fix)
+    kw = {}
+    if eye_od is not None:
+        kw = dict(eye_od=eye_od[:, None, :], vrl_od=vrl_od[None, :, :])
     total, _, _ = pair_contribution(
         scene_p, expand(ray_o), expand(ray_d), expand(hit.p),
         expand(hit.valid), expand(hit.ng), expand(hit.mat),
         vrls.start[None], vrls.end[None], vrls.power[None],
         vrls.valid[None], u_vv, u_vs, cfg)
+    if weight is not None:
+        total = total * weight[None, :, None]
     ours = np.asarray(
         jnp.sum(total, axis=1) / jnp.maximum(vrls.particle_count, 1.0))
-    ours = np.where(np.asarray(hit.valid)[:, None], ours, 0.0)
+    return np.where(np.asarray(hit.valid)[:, None], ours, 0.0)
 
+
+def _gate(ours, cpp, n, tag, med_tol=1e-3, tail_tol=0.01):
     nz = cpp > 1e-8
-    assert nz.sum() > n  # most pixels lit
+    assert nz.sum() > n, tag  # most pixels lit
     rel = np.abs(ours - cpp)[nz] / cpp[nz]
-    # BASELINE bar: 1e-3 relative. f32-vs-f64 and occlusion-boundary
-    # rounding leave a tail; the bulk must sit at f32 precision.
-    assert np.median(rel) < 1e-3, np.median(rel)
+    assert np.median(rel) < med_tol, (tag, np.median(rel))
     w_err = np.abs(ours - cpp)[nz].sum() / cpp[nz].sum()
-    assert w_err < 1e-3, w_err
-    assert (rel > 1e-2).mean() < 0.01, (rel > 1e-2).mean()
+    assert w_err < med_tol, (tag, w_err)
+    assert (rel > 1e-2).mean() < tail_tol, (tag, (rel > 1e-2).mean())
+
+
+def test_cpp_oracle_u_sweep_short_and_long(oracle_bin, tmp_path):
+    """Homogeneous estimator vs the C++ oracle across a fixed-uniform
+    sweep AND both VRL endpoint conventions (short: pdfFailure
+    division, vrlIntegrator.cpp:675-676; long: none)."""
+    scene = presets.cornell_smoke(width=16, height=8)
+    scene = scene.replace(medium=scene.medium.replace(g=jnp.float32(0.3)))
+    scene_p, ray_o, ray_d, hit = _eye_rays(scene)
+    vrls = vrl_mod.compact(
+        tracer.trace(scene, jax.random.key(0), 24,
+                     tracer.TracerConfig(max_depth=8)),
+        None)
+    n = ray_o.shape[0]
+    vrl_file = tmp_path / "vrls.txt"
+    vrl_mod.save_ascii(vrls, str(vrl_file))
+    pcount = float(vrls.particle_count)
+
+    for short in (True, False):
+        cfg = VRLConfig(vol_vol_samples=1, vol_surf_samples=1,
+                        short_vrls=short)
+        for u_fix in (0.1, 0.3, 0.5, 0.7, 0.9):
+            sf = tmp_path / f"scene_{int(short)}_{u_fix}.txt"
+            _export_scene(scene_p, ray_o, ray_d, hit, cfg, u_fix,
+                          str(sf))
+            cpp = _run_oracle(oracle_bin, sf, vrl_file, pcount)
+            assert cpp.shape == (n, 3)
+            ours = _jax_fixed_u(scene_p, ray_o, ray_d, hit, vrls, cfg,
+                                u_fix)
+            _gate(ours, cpp, n, (short, u_fix))
+
+
+def test_cpp_oracle_hetero(oracle_bin, tmp_path):
+    """Heterogeneous grid-medium estimator vs the C++ oracle: the
+    supersampled grid is a shared input; the supersampled-NN indexing,
+    NQ-step cumulative-OD tables + interpolation, U<->V midpoint
+    quadrature, density factors, and the grid pdfFailure are
+    independently re-implemented in C++."""
+    from alvrl_tpu.media import heterogeneous as gmed
+
+    scene = presets.cornell_grid_smoke(width=16, height=8, grid_res=12)
+    scene_p, ray_o, ray_d, hit = _eye_rays(scene)
+    vrls = vrl_mod.compact(
+        tracer.trace(scene, jax.random.key(0), 24,
+                     tracer.TracerConfig(max_depth=8)),
+        None)
+    n = ray_o.shape[0]
+    med = scene_p.medium
+    eye_od = gmed.cumulative_od(med, ray_o, jnp.where(
+        hit.valid[:, None], hit.p, ray_o))
+    vrl_od = gmed.cumulative_od(med, vrls.start, vrls.end)
+    vrl_file = tmp_path / "vrls.txt"
+    vrl_mod.save_ascii(vrls, str(vrl_file))
+    pcount = float(vrls.particle_count)
+
+    for u_fix in (0.3, 0.5, 0.7):
+        cfg = VRLConfig(vol_vol_samples=1, vol_surf_samples=1)
+        sf = tmp_path / f"scene_h_{u_fix}.txt"
+        _export_scene(scene_p, ray_o, ray_d, hit, cfg, u_fix, str(sf),
+                      hetero=True)
+        cpp = _run_oracle(oracle_bin, sf, vrl_file, pcount)
+        assert cpp.shape == (n, 3)
+        ours = _jax_fixed_u(scene_p, ray_o, ray_d, hit, vrls, cfg,
+                            u_fix, eye_od=eye_od, vrl_od=vrl_od)
+        # f32 grid lookups + two extra quadrature layers leave a
+        # slightly longer tail than the homogeneous case; the bulk
+        # must still sit at f32 precision
+        _gate(ours, cpp, n, ("hetero", u_fix), tail_tol=0.02)
+
+
+def test_cpp_oracle_clustered(oracle_bin, tmp_path):
+    """Clustered weighted representative sums vs the C++ oracle
+    (per-ray slice id -> sum of weight_i * integrateVRL(ray, vrl_i),
+    getClusteredVrlContributions vrlIntegrator.cpp:542-599)."""
+    scene = presets.cornell_smoke(width=16, height=8)
+    scene = scene.replace(medium=scene.medium.replace(g=jnp.float32(0.3)))
+    scene_p, ray_o, ray_d, hit = _eye_rays(scene)
+    vrls = vrl_mod.compact(
+        tracer.trace(scene, jax.random.key(0), 24,
+                     tracer.TracerConfig(max_depth=8)),
+        None)
+    n = ray_o.shape[0]
+    nv = vrls.capacity
+    rs = np.random.default_rng(1)
+
+    # two slices with overlapping representative subsets + weights
+    reps0 = sorted(rs.choice(nv, size=min(6, nv), replace=False))
+    reps1 = sorted(rs.choice(nv, size=min(5, nv), replace=False))
+    w0 = rs.uniform(0.5, 2.0, len(reps0))
+    w1 = rs.uniform(0.5, 2.0, len(reps1))
+    slices = [list(zip((int(i) for i in reps0), w0)),
+              list(zip((int(i) for i in reps1), w1))]
+    ray_slice = [0 if i < n // 2 else 1 for i in range(n)]
+
+    cfg = VRLConfig(vol_vol_samples=1, vol_surf_samples=1)
+    u_fix = 0.5
+    sf = tmp_path / "scene_cl.txt"
+    _export_scene(scene_p, ray_o, ray_d, hit, cfg, u_fix, str(sf),
+                  clusters=(slices, ray_slice))
+    vrl_file = tmp_path / "vrls.txt"
+    vrl_mod.save_ascii(vrls, str(vrl_file))
+    cpp = _run_oracle(oracle_bin, sf, vrl_file,
+                      float(vrls.particle_count))
+    assert cpp.shape == (n, 3)
+
+    # JAX side: per-slice weight vectors over the full VRL axis
+    ours = np.zeros((n, 3), np.float32)
+    for sid, sl in enumerate(slices):
+        wv = np.zeros(nv, np.float32)
+        for vi, w in sl:
+            wv[vi] += w
+        o = _jax_fixed_u(scene_p, ray_o, ray_d, hit, vrls, cfg, u_fix,
+                         weight=jnp.asarray(wv))
+        mask = np.asarray([s == sid for s in ray_slice])
+        ours[mask] = o[mask]
+    _gate(ours, cpp, n, "clustered")
+
+
+def test_cpp_oracle_matches_xla(oracle_bin, tmp_path):
+    """The original round-4 single-point check (kept as the smoke
+    anchor: u=0.5, short VRLs, homogeneous)."""
+    scene = presets.cornell_smoke(width=16, height=8)
+    scene = scene.replace(medium=scene.medium.replace(g=jnp.float32(0.3)))
+    scene_p, ray_o, ray_d, hit = _eye_rays(scene)
+    vrls = vrl_mod.compact(
+        tracer.trace(scene, jax.random.key(0), 24,
+                     tracer.TracerConfig(max_depth=8)),
+        None)
+    cfg = VRLConfig(vol_vol_samples=1, vol_surf_samples=1)
+    u_fix = 0.5
+    n = ray_o.shape[0]
+    sf = tmp_path / "scene.txt"
+    _export_scene(scene_p, ray_o, ray_d, hit, cfg, u_fix, str(sf))
+    vrl_file = tmp_path / "vrls.txt"
+    vrl_mod.save_ascii(vrls, str(vrl_file))
+    cpp = _run_oracle(oracle_bin, sf, vrl_file,
+                      float(vrls.particle_count))
+    assert cpp.shape == (n, 3)
+    ours = _jax_fixed_u(scene_p, ray_o, ray_d, hit, vrls, cfg, u_fix)
+    _gate(ours, cpp, n, "anchor")
 
 
 def test_cpp_oracle_vrlfile_roundtrip(oracle_bin, tmp_path):
