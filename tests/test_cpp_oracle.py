@@ -152,7 +152,7 @@ def _jax_fixed_u(scene_p, ray_o, ray_d, hit, vrls, cfg, u_fix,
         scene_p, expand(ray_o), expand(ray_d), expand(hit.p),
         expand(hit.valid), expand(hit.ng), expand(hit.mat),
         vrls.start[None], vrls.end[None], vrls.power[None],
-        vrls.valid[None], u_vv, u_vs, cfg)
+        vrls.valid[None], u_vv, u_vs, cfg, **kw)
     if weight is not None:
         total = total * weight[None, :, None]
     ours = np.asarray(
