@@ -47,6 +47,7 @@ from alvrl_tpu.bsdf import api as bsdf_api
 from alvrl_tpu.core import math as m
 from alvrl_tpu.core import rng, warp
 from alvrl_tpu.emitters import emitters as em_mod
+from alvrl_tpu.emitters import envmap as envmap_mod
 from alvrl_tpu.film import film as film_mod
 from alvrl_tpu.geometry import intersect
 from alvrl_tpu.scene.scene import Scene
@@ -68,25 +69,34 @@ class BDPTConfig:
     # the round-3 behavior (families split between bdpt and ptracer).
     with_light_tracing: bool = struct.field(pytree_node=False,
                                             default=False)
-    # Emit the s=0 environment strategy (bounding-sphere vertex + full
-    # MIS evaluation per eye prefix)? That block inflates the unrolled
-    # program for every t even when the scene has no CONSTANT emitter
-    # (ADVICE r04 #3), so the public entry points resolve None ->
-    # whether the concrete scene actually carries one
-    # (_resolve_env_strategies). None inside _connect_all is treated as
-    # True (safe for callers that jit around us with a traced scene).
-    env_strategies: bool | None = struct.field(pytree_node=False,
-                                               default=None)
+    # Environment-family s=0 strategy mode: False statically skips the
+    # block (no env emitter — ADVICE r04 #3), "constant" uses the
+    # bounding-sphere vertex conventions (CONSTANT emitters), "envmap"
+    # the solid-angle infinite-light conventions (importance-sampled
+    # ENVMAP light starts, round 5). The public entry points resolve
+    # None from the concrete scene (_resolve_env_strategies); None /
+    # legacy True inside _connect_all behave as "constant".
+    env_strategies: bool | str | None = struct.field(pytree_node=False,
+                                                     default=None)
 
 
 def _resolve_env_strategies(scene: Scene, cfg: BDPTConfig) -> BDPTConfig:
-    """Pin cfg.env_strategies from a CONCRETE scene (call outside jit)."""
+    """Pin cfg.env_strategies from a CONCRETE scene (call outside jit):
+    False (no environment emitter — the s=0 env block is statically
+    skipped), "constant" (CONSTANT only — bounding-sphere vertex
+    conventions), or "envmap" (ENVMAP present — solid-angle infinite-
+    light conventions, round 5 / VERDICT r04 item 7)."""
     if cfg.env_strategies is not None:
         return cfg
     import numpy as _np
-    has_env = bool(_np.any(_np.asarray(scene.emitters.kind)
-                           == em_mod.CONSTANT))
-    return cfg.replace(env_strategies=has_env)
+    kinds = _np.asarray(scene.emitters.kind)
+    if bool(_np.any(kinds == em_mod.ENVMAP)):
+        mode = "envmap"
+    elif bool(_np.any(kinds == em_mod.CONSTANT)):
+        mode = "constant"
+    else:
+        mode = False
+    return cfg.replace(env_strategies=mode)
 
 
 def _area_pdf(pdf_sa, d_vec, ng_to):
@@ -205,6 +215,7 @@ def _light_start(scene: Scene, key, u5=None):
     is_point = kind == em_mod.POINT
     is_dir = kind == em_mod.DIRECTIONAL
     is_envc = kind == em_mod.CONSTANT
+    is_envm = kind == em_mod.ENVMAP
     center, r_env = _bounding_sphere(scene)
 
     # position on the light
@@ -230,20 +241,39 @@ def _light_start(scene: Scene, key, u5=None):
     n_out = warp.square_to_uniform_sphere(uv)
     p_envc = center + r_env * n_out
 
+    # ENVMAP: importance-sample the INCOMING direction from the map
+    # (round 5, VERDICT r04 item 7; reference: envmap.cpp sampleRay via
+    # pathsampler.cpp). PBRT-style infinite-light conventions: the y0
+    # "position" pdf is the SOLID-ANGLE direction density (pmf *
+    # pdf_env), the beam's area density at the first hit is
+    # cos / (pi r^2) (parallel rays through the bounding disk).
+    d_envm, pdf_envm, rad_envm = envmap_mod.sample_env(em.env, u5[3:5])
+    d0_envm = -d_envm          # into the scene
+    s_e, t_e = m.build_frame(d0_envm)
+    p_envm = (center - d0_envm * (1.5 * r_env)
+              + s_e * (r_disk * jnp.cos(phi_d))
+              + t_e * (r_disk * jnp.sin(phi_d)))
+    disk_pdf = 1.0 / (jnp.pi * r_env * r_env)
+
     p0 = jnp.where(is_area, tri_p,
                    jnp.where(is_dir, p_dir,
                              jnp.where(is_envc, p_envc,
-                                       em.position[idx])))
+                                       jnp.where(is_envm, p_envm,
+                                                 em.position[idx]))))
     ng0 = jnp.where(is_area, n_face,
                     jnp.where(is_dir, axis,
                               jnp.where(is_envc, -n_out,
-                                        jnp.array([0.0, 0.0, 1.0]))))
+                                        jnp.where(is_envm, d0_envm,
+                                                  jnp.array(
+                                                      [0.0, 0.0, 1.0])))))
     pdf_pos = jnp.where(
         is_area, pmf / area,
         jnp.where(is_dir, pmf / (jnp.pi * r_env * r_env),
                   jnp.where(is_envc,
                             pmf / (4.0 * jnp.pi * r_env * r_env),
-                            pmf)))  # point: discrete
+                            jnp.where(is_envm,
+                                      pmf * jnp.maximum(pdf_envm, 1e-12),
+                                      pmf))))  # point: discrete
 
     # start direction: cosine about ng0 (area + env sphere), uniform
     # sphere (point), or the fixed beam axis (directional: delta)
@@ -253,29 +283,38 @@ def _light_start(scene: Scene, key, u5=None):
     d_cos = m.frame_to_world(s_f, t_f, ng0, local)
     d_sphere = warp.square_to_uniform_sphere(u2)
     use_cos = is_area | is_envc
+    axis_eff = jnp.where(is_envm, d0_envm, axis)
     d0 = jnp.where(use_cos, d_cos,
-                   jnp.where(is_dir, axis, d_sphere))
+                   jnp.where(is_dir | is_envm, axis_eff, d_sphere))
     cos0 = jnp.abs(m.dot(ng0, d0))
     pdf_dir = jnp.where(use_cos, cos0 / jnp.pi,
                         jnp.where(is_dir, 1.0,  # delta direction
-                                  1.0 / (4.0 * jnp.pi)))
+                                  jnp.where(is_envm, disk_pdf,
+                                            1.0 / (4.0 * jnp.pi))))
 
     # beta of the FIRST surface vertex the walk will hit:
     # area/env: Le * cos / (pdf_pos * pdf_dir); point: I/(pmf pdf_dir);
-    # directional: E / pdf_pos (the delta direction carries pdf 1)
+    # directional: E / pdf_pos (the delta direction carries pdf 1);
+    # ENVMAP: Le(w) / (pmf pdf_env disk_pdf)
     inten = em.intensity[idx]
     beta1 = jnp.where(
         use_cos, inten * (cos0 / (pdf_pos * jnp.maximum(pdf_dir, 1e-12))),
         jnp.where(is_dir, inten / pdf_pos,
-                  inten / (pmf * pdf_dir)),
+                  jnp.where(is_envm,
+                            rad_envm / (jnp.maximum(pdf_pos, 1e-30)
+                                        * disk_pdf),
+                            inten / (pmf * pdf_dir))),
     )
-    beta0 = jnp.where(use_cos, inten / pdf_pos, inten / pmf)
-    valid = is_area | is_point | is_dir | is_envc
+    beta0 = jnp.where(use_cos, inten / pdf_pos,
+                      jnp.where(is_envm,
+                                rad_envm / jnp.maximum(pdf_pos, 1e-30),
+                                inten / pmf))
+    valid = is_area | is_point | is_dir | is_envc | is_envm
     return dict(
         p0=p0, ng0=ng0, d0=d0, idx=idx, is_area=is_area,
         is_point=is_point, is_dir=is_dir, is_envc=is_envc,
-        use_cos=use_cos, axis=axis, center=center, r_env=r_env,
-        pdf_pos=pdf_pos, pdf_dir=pdf_dir,
+        is_envm=is_envm, use_cos=use_cos, axis=axis_eff, center=center,
+        r_env=r_env, pdf_pos=pdf_pos, pdf_dir=pdf_dir,
         beta0=beta0, beta1=beta1, valid=valid, area=area, pmf=pmf,
     )
 
@@ -320,6 +359,13 @@ def _light_subpath(scene: Scene, key, n_light: int, u_start=None,
     _, vs = jax.lax.scan(step, init, u_steps)
     prev_p = jnp.concatenate([ls["p0"][None], vs["p"][:-1]], axis=0)
     vs["pdf_fwd"] = _area_pdf(vs["pdf_fwd"], vs["p"] - prev_p, vs["ng"])
+    # ENVMAP start: parallel rays through the bounding disk — the first
+    # vertex's area density is cos / (pi r^2), WITHOUT the 1/d^2 of the
+    # finite-vertex conversion (PBRT's infinite-light PdfLight)
+    pf0_env = jnp.abs(m.dot(vs["ng"][0], ls["d0"])) \
+        / (jnp.pi * ls["r_env"] * ls["r_env"])
+    vs["pdf_fwd"] = vs["pdf_fwd"].at[0].set(
+        jnp.where(ls["is_envm"], pf0_env, vs["pdf_fwd"][0]))
     vs["prev_p"] = prev_p
     return ls, vs
 
@@ -535,16 +581,39 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
         # when the resolved config says the scene has no CONSTANT
         # emitter (ADVICE r04 #3). ----
         include_env = cfg.env_strategies is not False
+        env_mode = (cfg.env_strategies
+                    if cfg.env_strategies in ("constant", "envmap")
+                    else "constant")
         esc = ev["esc"][t - 1]
         d_esc = -ev["wi"][t - 1]
-        env_rad = jnp.sum(
-            jnp.where((em.kind == em_mod.CONSTANT)[:, None],
-                      em.intensity, 0.0), axis=0)
+        env_rad = em_mod.env_radiance(em, d_esc)  # CONSTANT + ENVMAP
         l_env = beta_t * env_rad  # beta_t = throughput INTO the step
         if not include_env:
             pass
         elif t == 1:
             total = total + jnp.where(esc[..., None], l_env, 0.0)
+        elif env_mode == "envmap":
+            # infinite-light (solid-angle) conventions, mirroring the
+            # ENVMAP _light_start family: the env vertex's origin pdf
+            # is the summed direction density of the environment
+            # emitters; its beam reaches x_{t-2} with area density
+            # |cos| / (pi r^2) (parallel rays); the eye side's pdf of
+            # the env vertex is the stored escape solid-angle pdf
+            _, r_env = _bounding_sphere(scene)
+            pt_rev_e = em_mod.env_nee_pdf(em, d_esc)
+            ptm_rev_e = jnp.abs(m.dot(ev["ng"][t - 2], d_esc)) \
+                / (jnp.pi * r_env * r_env)
+            ev2 = dict(ev)
+            ev2["ng"] = ev["ng"].at[t - 1].set(-d_esc)
+            ev2["pdf_fwd"] = ev["pdf_fwd"].at[t - 1].set(
+                ev["pdf_fwd_sa"][t - 1])
+            ev2["delta"] = ev["delta"].at[t - 1].set(False)
+            w_env = _mis_weight(scene, ls, lv, ev2, 0, t, pt_rev_e,
+                                ptm_rev_e, 0.0, 0.0, cfg.n_eye,
+                                cfg.n_light, cam_rev_pdf=cam_rev)
+            ok_env = esc & (pt_rev_e > 0)
+            total = total + jnp.where(ok_env[..., None],
+                                      w_env * l_env, 0.0)
         else:
             center_e, r_env = _bounding_sphere(scene)
             pmf_env = jnp.sum(
@@ -590,8 +659,9 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
         # directional: the connection direction is the (delta) beam
         # axis, and visibility runs to a pseudo-point outside the scene
         # along it — NOT toward the sampled disk point
-        dirn = jnp.where(ls["is_dir"][..., None], -ls["axis"], dirn_pt)
-        vis_b = jnp.where(ls["is_dir"][..., None],
+        beam = ls["is_dir"] | ls["is_envm"]
+        dirn = jnp.where(beam[..., None], -ls["axis"], dirn_pt)
+        vis_b = jnp.where(beam[..., None],
                           xt - ls["axis"] * (2.0 * ls["r_env"]),
                           ls["p0"])
         tau = _visible_tau(scene, xt, vis_b)
@@ -599,24 +669,32 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
                                      p_world=xt)
         cos_l = jnp.maximum(m.dot(ls["ng0"], -dirn), 0.0)
         # radiance toward xt per kind: area/env sphere carry the
-        # geometric cos/d^2, point its 1/d^2 falloff, directional the
-        # plain irradiance (delta direction, no falloff)
+        # geometric cos/d^2, point its 1/d^2 falloff, the beam families
+        # (directional, ENVMAP) plain irradiance / solid-angle NEE
         val_area = ls["beta0"] * (cos_l / d2)[..., None]
         val_point = ls["beta0"] / d2[..., None]
         val = jnp.where(ls["use_cos"][..., None], val_area,
-                        jnp.where(ls["is_dir"][..., None], ls["beta0"],
+                        jnp.where(beam[..., None], ls["beta0"],
                                   val_point))
         l_s1 = beta_t * f_eye * tau * val
         # MIS pdfs for the s=1 connection. Directional: the light
         # generates xt through its disk-position choice — area density
-        # pdf_pos projected onto the receiver (pmf/(pi R^2) |cos|)
+        # pdf_pos projected onto the receiver (pmf/(pi R^2) |cos|).
+        # ENVMAP: same parallel-beam geometry but pdf_pos holds the
+        # direction density, so the area density at xt is
+        # |cos| / (pi r^2) (no pmf — it lives in the y0 origin pdf).
         pt_rev_s1 = jnp.where(
             ls["is_dir"],
             ls["pdf_pos"] * jnp.abs(m.dot(ng_t, ls["axis"])),
-            _area_pdf(
-                jnp.where(ls["use_cos"], cos_l / jnp.pi,
-                          1.0 / (4 * jnp.pi)),
-                -dvec, ng_t,
+            jnp.where(
+                ls["is_envm"],
+                jnp.abs(m.dot(ng_t, ls["axis"]))
+                / (jnp.pi * ls["r_env"] * ls["r_env"]),
+                _area_pdf(
+                    jnp.where(ls["use_cos"], cos_l / jnp.pi,
+                              1.0 / (4 * jnp.pi)),
+                    -dvec, ng_t,
+                ),
             ),
         )
         d_prev = ev["prev_p"][t - 1] - xt
@@ -625,9 +703,13 @@ def _connect_all(scene: Scene, ev, ls, lv, cfg: BDPTConfig):
                                 m.normalize(d_prev)),
             d_prev, ng_prev,
         )
-        qs_rev_s1 = _area_pdf(
-            bsdf_api.pdf_smooth(scene, mat_t, ng_t, wi_t, dirn),
-            dvec, ls["ng0"],
+        # ENVMAP y0 lives in the solid-angle measure (its origin pdf is
+        # a direction density): the eye side's alternative pdf for it
+        # is the plain BSDF solid-angle pdf, no area conversion
+        qs_sa = bsdf_api.pdf_smooth(scene, mat_t, ng_t, wi_t, dirn)
+        qs_rev_s1 = jnp.where(
+            ls["is_envm"], qs_sa,
+            _area_pdf(qs_sa, dvec, ls["ng0"]),
         )
         w_s1 = _mis_weight(scene, ls, lv, ev, 1, t, pt_rev_s1, ptm_rev_s1,
                            qs_rev_s1, 0.0, cfg.n_eye, cfg.n_light,

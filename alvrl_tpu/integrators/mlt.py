@@ -62,9 +62,19 @@ class MLTConfig:
 @partial(jax.jit, static_argnames=("cfg",))
 def render_mlt(scene: Scene, key, cfg: MLTConfig = MLTConfig()):
     """Metropolis render over bidirectional path space: (H, W, 3)."""
+    import jax as _jax
+
+    from alvrl_tpu.integrators.bdpt import _resolve_env_strategies
+
     cam = scene.camera
     w, h = cam.width, cam.height
     bcfg = cfg.bdpt()
+    # pin the env-family mode from the concrete scene (round 5: the
+    # ENVMAP conventions differ from CONSTANT's; a wrong mode would
+    # make the Metropolis target's MIS weights inconsistent with the
+    # sampling family)
+    if not isinstance(scene.emitters.kind, _jax.core.Tracer):
+        bcfg = _resolve_env_strategies(scene, bcfg)
     mcfg = cfg._mutator()
     d = n_dims_bdpt(bcfg)
 

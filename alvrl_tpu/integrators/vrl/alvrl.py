@@ -361,11 +361,16 @@ def render_alvrl_progressive(
     slice_info = build_slice_info(scene, params)
     t["slice"] = _time.time() - t0
 
+    from alvrl_tpu.integrators.vrl.vrl import compact_device
+
     def trace_pass(k):
         kp = rng.fold(key, 2 * k)
         raw = trace(scene, kp, params.num_particles, tracer_cfg)
-        v = compact(raw, params.vrl_target_num,
-                    slots_per_particle=tracer_cfg.max_depth)
+        # device-side compaction: the host `compact`'s np.nonzero syncs
+        # on the fresh trace, which would stall this pipeline (the host
+        # must not block before enqueueing the render)
+        v = compact_device(raw, params.vrl_target_num,
+                           tracer_cfg.max_depth)
         r = build_R_device(scene, v, params, cfg, slice_info,
                            use_pallas=use_pallas,
                            r_key=rng.fold(key, 2 * k + 1))
@@ -380,7 +385,9 @@ def render_alvrl_progressive(
 
     acc = None
     info = None
+    import sys as _sys
     for k in range(n_passes):
+        t_pass = _time.time()
         # 1. enqueue pass k+1's device work FIRST (trace + R build)
         nxt = None
         t0 = _time.time()
@@ -406,14 +413,19 @@ def render_alvrl_progressive(
         if nxt is not None:
             vrls_next, (rm, rv) = nxt
             t0 = _time.time()
-            rm_h = np.asarray(rm).astype(np.float64)
-            rv_h = np.asarray(rv).astype(np.float64)
+            # bf16 -> f32 -> f64: the two-step cast is much cheaper on
+            # host than ml_dtypes' direct bf16 -> f64
+            rm_h = np.asarray(rm).astype(np.float32).astype(np.float64)
+            rv_h = np.asarray(rv).astype(np.float32).astype(np.float64)
             t["transfer"] += _time.time() - t0
             t0 = _time.time()
             tables_k = cluster_from_R(rm_h, rv_h, params, slice_info,
                                       use_pallas=use_pallas)
             t["cluster"] += _time.time() - t0
             vrls_k = vrls_next
+        if timings is not None and timings.get("verbose"):
+            print(f"  pipelined pass {k}: {_time.time() - t_pass:.2f}s "
+                  f"(tables {tables_k[1].shape})", file=_sys.stderr)
 
     img = np.asarray(acc) / n_passes
     t["wall"] = _time.time() - t_all

@@ -313,13 +313,13 @@ def render_with_vrls_pallas_bvh(scene: Scene, vrls: VRLs, key,
     vrls_s = vp.sort_vrls_morton(vrls)
     ray_pack = pk.pack_rays(scene, ray_o, ray_d, hit)
     vrl_pack = pk.pack_vrls(vrls_s)
-    clb, blocks, n_clusters = vp.pack_tri_clusters(
+    clb, sclb, blocks, n_clusters = vp.pack_tri_clusters(
         scene.vertices, scene.faces, np.asarray(scene.opaque_faces()))
     med_pack = pk.pack_medium(scene)
     seed = jax.random.randint(key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
 
     out = vp.vrl_sum_pallas_bvh(
-        ray_pack, vrl_pack, clb, blocks, med_pack, seed,
+        ray_pack, vrl_pack, clb, sclb, blocks, med_pack, seed,
         n_clusters=n_clusters,
         vol_vol_samples=cfg.vol_vol_samples,
         vol_surf_samples=cfg.vol_surf_samples,

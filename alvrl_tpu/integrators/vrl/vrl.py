@@ -84,6 +84,48 @@ def compact(vrls: VRLs, capacity: int | None = None,
     )
 
 
+def compact_device(vrls: VRLs, capacity: int,
+                   slots_per_particle: int) -> VRLs:
+    """jnp twin of `compact` for pipelined drivers (round 5): the host
+    version's np.nonzero forces a device->host sync on the freshly
+    traced buffer, which stalls the software pipeline of
+    alvrl.render_alvrl_progressive (the host blocks before it can
+    enqueue the next render). This version compacts on-device with
+    static shapes: whole-particle truncation (same
+    normalization-correct semantics), valid slots packed to the front
+    via a stable argsort, zero padding, and a TRACED particle_count.
+
+    Equivalent to `compact(vrls, capacity, slots_per_particle)` up to
+    the kept-slot ORDER being identical (argsort over the original
+    index is stable) — verified in tests/test_components.py."""
+    n = vrls.valid.shape[0]
+    valid = vrls.valid
+    per_particle = valid.reshape(-1, slots_per_particle).sum(axis=1)
+    csum = jnp.cumsum(per_particle)
+    n_keep = jnp.searchsorted(csum, jnp.int32(capacity), side="right")
+    n_particles = per_particle.shape[0]
+    # if everything fits, keep all particles
+    n_keep = jnp.where(csum[-1] <= capacity, n_particles, n_keep)
+    keep = valid & ((jnp.arange(n) // slots_per_particle) < n_keep)
+    # stable pack-to-front: sort by (not kept, original index)
+    order = jnp.argsort(jnp.where(keep, jnp.arange(n), n + jnp.arange(n)))
+    sel = order[:capacity]
+    new_valid = keep[sel]
+
+    def take(a):
+        return jnp.where(new_valid.reshape((-1,) + (1,) * (a.ndim - 1)),
+                         a[sel], 0.0)
+
+    return VRLs(
+        start=take(vrls.start),
+        end=take(vrls.end),
+        power=take(vrls.power),
+        valid=new_valid,
+        particle_count=jnp.minimum(
+            n_keep, n_particles).astype(jnp.float32),
+    )
+
+
 def save_ascii(vrls: VRLs, path: str):
     """ASCII VRL interchange format of the reference (VRL.h:43-54,65-73):
     one line per VRL: x0 y0 z0 x1 y1 z1 r g b."""

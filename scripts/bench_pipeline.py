@@ -64,8 +64,18 @@ def main():
     serial_pp = (time.time() - t0) / n_passes
     print(f"serial: {serial_pp * 1e3:.0f} ms/pass", file=sys.stderr)
 
-    # pipelined arm
-    tms = {}
+    # pipelined arm (run twice: the first run may pay table-width
+    # recompiles for widths the serial warmup never saw; steady state
+    # is the second run)
+    tms = {"verbose": 1}
+    t0 = time.time()
+    img2, _, _ = alvrl.render_alvrl_progressive(
+        scene, n_passes, key, params, cfg, use_pallas=True,
+        timings=tms)
+    jax.block_until_ready(img2)
+    print(f"pipelined cold: {(time.time()-t0)/n_passes*1e3:.0f} ms/pass",
+          file=sys.stderr)
+    tms = {"verbose": 1}
     t0 = time.time()
     img2, _, _ = alvrl.render_alvrl_progressive(
         scene, n_passes, key, params, cfg, use_pallas=True,

@@ -52,6 +52,7 @@ SLOW_FILES = {
     "test_irrcache.py",
     "test_media.py",
     "test_mlt.py",
+    "test_sds.py",
     "test_multihost.py",
     "test_nested_media.py",
     "test_oriented_media.py",

@@ -217,3 +217,40 @@ def test_bdpt_directional():
     assert img_b.mean() > 0
     assert_means_agree(runs_b, runs_p, z_max=4.0, floor_frac=0.02,
                        label="bdpt-vs-path-directional")
+
+
+def test_bdpt_envmap():
+    """ENVMAP emitter in the BDPT MIS mix (round 5, VERDICT r04 item
+    7): importance-sampled envmap light-subpath starts (s>=2),
+    solid-angle env NEE (s=1), and the escape family (s=0) must
+    MIS-combine unbiased against the path tracer on an ASYMMETRIC map
+    (a bright patch — the case uniform/cosine env sampling handles
+    badly and the importance-sampled family exists for). Reference:
+    envmap.cpp sampleRay through src/libbidir/pathsampler.cpp."""
+    from alvrl_tpu.emitters import emitters as em_mod
+    from alvrl_tpu.emitters.envmap import make_envmap
+    from tests.ab_utils import assert_means_agree
+
+    img = np.full((8, 16, 3), 0.05, np.float32)
+    img[2:4, 3:6] = np.asarray([6.0, 4.0, 2.0], np.float32)  # patch
+    em = em_mod.make_emitters([em_mod.ENVMAP], [[0, 0, 0]],
+                              [[1.0, 1.0, 1.0]],
+                              env=make_envmap(img))
+    scene = _plane_scene(em)
+    cfg = bdpt.BDPTConfig(n_eye=4, n_light=3, ray_tile=100)
+    runs_b = [
+        np.asarray(bdpt.render_bdpt(scene, jax.random.key(i), spp=24,
+                                    cfg=cfg))
+        for i in range(3)
+    ]
+    runs_p = [
+        np.asarray(surface.render_path(scene, jax.random.key(10 + i),
+                                       spp=48, max_depth=5,
+                                       ray_tile=100))
+        for i in range(3)
+    ]
+    img_b = np.mean(runs_b, axis=0)
+    assert np.isfinite(img_b).all()
+    assert img_b.mean() > 0
+    assert_means_agree(runs_b, runs_p, z_max=4.0, floor_frac=0.02,
+                       label="bdpt-vs-path-envmap")

@@ -111,14 +111,14 @@ def test_bvh_kernel_matches_smem_kernel():
     vpk = pk.pack_vrls(vr)
     med = pk.pack_medium(sc)
     seed = jnp.asarray([3], jnp.int32)
-    clb, blocks, c = vp.pack_tri_clusters(
+    clb, sclb, blocks, c = vp.pack_tri_clusters(
         np.asarray(sc.vertices), np.asarray(sc.faces),
         np.asarray(sc.opaque_faces()))
     with pltpu.force_tpu_interpret_mode():
         a = np.asarray(vp.vrl_sum_pallas(rp, vpk, pk.pack_tris(sc),
                                          med, seed))
-        b = np.asarray(vp.vrl_sum_pallas_bvh(rp, vpk, clb, blocks, med,
-                                             seed, n_clusters=c))
+        b = np.asarray(vp.vrl_sum_pallas_bvh(rp, vpk, clb, sclb, blocks,
+                                             med, seed, n_clusters=c))
     nz = a > 1e-9
     assert nz.sum() > 50
     rel = np.abs(a - b)[nz] / a[nz]

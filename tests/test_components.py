@@ -274,3 +274,27 @@ def test_area_emitter_nee_cosine():
         lambda k: em_mod.nee(scene.emitters, k, side, jnp.float32(1.7))
     )(keys)
     assert float(v_below.mean()) > float(v_side.mean())
+
+
+def test_compact_device_matches_host():
+    """vrl.compact_device (the pipelined driver's sync-free compaction)
+    must match the host compact exactly: same slots, same order, same
+    truncated particle count."""
+    import numpy as np
+
+    from alvrl_tpu.integrators.vrl import tracer, vrl as vrl_mod
+    from alvrl_tpu.scene import presets
+
+    scene = presets.cornell_smoke(width=16, height=16)
+    raw = tracer.trace(scene, jax.random.key(0), 48,
+                       tracer.TracerConfig(max_depth=8))
+    for cap in (64, 128, 200):
+        a = vrl_mod.compact(raw, cap, slots_per_particle=8)
+        b = vrl_mod.compact_device(raw, cap, 8)
+        np.testing.assert_allclose(np.asarray(a.start),
+                                   np.asarray(b.start))
+        np.testing.assert_allclose(np.asarray(a.end), np.asarray(b.end))
+        np.testing.assert_allclose(np.asarray(a.power),
+                                   np.asarray(b.power))
+        assert np.array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        assert float(a.particle_count) == float(b.particle_count)

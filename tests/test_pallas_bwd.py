@@ -172,10 +172,14 @@ def test_bwd_hetero_matches_fd():
     with pltpu.force_tpu_interpret_mode():
         g_ad = jax.grad(loss)(p0)
         assert float(loss(p0)) > 0
+        # round 5 (VERDICT r04 item 4): the 1e-2 slack was the
+        # projected density-scale gradient; with the exact d_fac route
+        # every check measures <= 3.6e-4 — gate at the 1e-3 BASELINE
+        # bar the homogeneous kernel meets
         _fd_check(loss, p0, g_ad,
                   [("g", None), ("pscale", None), ("stc", 0),
                    ("alb", 1), ("dscale", None)],
-                  tol=1e-2)
+                  tol=1e-3)
 
 
 def _clustered_setup():
@@ -293,10 +297,11 @@ def test_bwd_hetero_clustered_matches_fd():
     with pltpu.force_tpu_interpret_mode():
         g_ad = jax.grad(loss)(p0)
         assert float(loss(p0)) > 0
+        # gate at 1e-3 (see the unclustered test's round-5 note)
         _fd_check(loss, p0, g_ad,
                   [("g", None), ("pscale", None), ("stc", 0),
                    ("dscale", None)],
-                  tol=1e-2)
+                  tol=1e-3)
 
 
 # ---------------------------------------------------------------------------
