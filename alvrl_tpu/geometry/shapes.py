@@ -38,7 +38,15 @@ def cube(to_world=None, flip_normals=False):
     ]
     for rot, off in axes:
         v, f = rectangle()
-        v = v @ np.asarray(rot, dtype=np.float32).T + off.astype(np.float32)
+        rot = np.asarray(rot, dtype=np.float32)
+        v = v @ rot.T + off.astype(np.float32)
+        # reflection placements (det < 0) reverse the winding: without
+        # this the +-x / +-y faces wound INWARD while +-z wound outward
+        # (mixed!), breaking every winding-sensitive consumer (the
+        # dielectric side test above all) — found by the round-5 SDS
+        # study alongside the inverted sphere winding
+        if np.linalg.det(rot) < 0:
+            f = f[:, ::-1]
         faces.append(f + sum(len(x) for x in verts))
         verts.append(v)
     v = np.concatenate(verts, axis=0)
@@ -71,8 +79,13 @@ def sphere(center=(0, 0, 0), radius=1.0, n_theta=16, n_phi=32):
             b = i * n_phi + (j + 1) % n_phi
             c = (i + 1) * n_phi + j
             d = (i + 1) * n_phi + (j + 1) % n_phi
-            faces.append([a, b, d])
-            faces.append([a, d, c])
+            # wind OUTWARD (cross(e1, e2) away from the center): the
+            # raw winding normal is the dielectric side test
+            # (specular_bounce's `entering`) — the round-5 SDS study
+            # caught the old inward winding making every glass sphere
+            # a DIVERGING lens (no caustics possible)
+            faces.append([a, d, b])
+            faces.append([a, c, d])
     f = np.asarray(faces, dtype=np.int32)
     v = v * np.float32(radius) + center
     return v, f

@@ -49,7 +49,7 @@ def sds_scene(size=64):
             [0, 0, 0.02, -0.35],
             [0, 0, 0, 1.0]]
     desc = {
-        "camera": {"origin": [0, 0.35, -0.95], "target": [0, -0.8, 0.35],
+        "camera": {"origin": [0, 0.45, -0.95], "target": [0, -0.9, 0.25],
                    "fov": 55, "width": size, "height": size},
         "medium": {"type": "homogeneous", "sigma_s": [0.0] * 3,
                    "sigma_a": [0.0] * 3},
@@ -66,9 +66,13 @@ def sds_scene(size=64):
             {"type": "cube", "material": "glass", "to_world": pane},
         ],
         "emitters": [
-            {"type": "area", "p0": [-0.15, 0.998, 0.2],
-             "e1": [0.3, 0, 0], "e2": [0, 0, 0.3],
-             "radiance": [30, 30, 30]},
+            # small bright light BEYOND the sphere (z=0.8): the
+            # refracted focus lands IN FRONT of the sphere on the
+            # visible floor (a light above/behind throws the caustic
+            # behind the sphere where the camera cannot see it)
+            {"type": "area", "p0": [-0.125, 0.998, 0.775],
+             "e1": [0.25, 0, 0], "e2": [0, 0, 0.25],
+             "radiance": [60, 60, 60]},
         ],
     }
     return loader.load_json(desc)
@@ -107,10 +111,13 @@ def main():
         "gt path", lambda k: surface.render_path(
             scene, k, spp=spp_gt, max_depth=8, ray_tile=1024),
         [jax.random.key(100 + i) for i in range(k_runs)])
-    runs_bd, t_bd = timed(
-        "bdpt", lambda k: bdpt.render_bdpt(scene, k, spp=spp_bdpt,
-                                           cfg=cfg_b),
-        [jax.random.key(200 + i) for i in range(k_runs)])
+    if not quick:
+        runs_bd, t_bd = timed(
+            "bdpt", lambda k: bdpt.render_bdpt(scene, k, spp=spp_bdpt,
+                                               cfg=cfg_b),
+            [jax.random.key(200 + i) for i in range(k_runs)])
+    else:  # quick: gt + mlt only (the bdpt arm alone costs ~13 min)
+        runs_bd, t_bd = None, 0.0
     runs_ml, t_ml = timed(
         "pss-mlt", lambda k: mlt.render_mlt(scene, k, cfg_m),
         [jax.random.key(300 + i) for i in range(k_runs)])
@@ -142,7 +149,7 @@ def main():
             mean_ratio=float(m[crop].mean() / gt_mean[crop].mean()),
         )
 
-    res_bd = region_z(runs_bd)
+    res_bd = region_z(runs_bd) if runs_bd is not None else None
     res_ml = region_z(runs_ml)
     out = dict(size=size, quick=quick, k_runs=k_runs, spp_gt=spp_gt,
                spp_bdpt=spp_bdpt, n_chains=n_chains, n_mut=n_mut,
